@@ -1,0 +1,20 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh with x64.
+
+Multi-chip sharding is validated on host CPU devices
+(xla_force_host_platform_device_count) exactly as the driver's
+dryrun_multichip does; physics parity tests compare against the CPU
+mujoco oracle in float64.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
