@@ -42,7 +42,7 @@ class Option:
     tolerance: float = 1e-8
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity hash: usable as a static jit arg
 class PhysicsModel:
     """Static, host-side compiled model (all numpy float64/int32)."""
 

@@ -1,0 +1,158 @@
+"""Smooth (constraint-free) dynamics: CRBA mass matrix, RNEA bias forces,
+passive forces and actuation.
+
+Everything is expressed in the absolute Plücker coordinates produced by
+`kinematics.fk` (world axes, moments about kin.ref), where composite rigid
+body inertias add without transforms and the CRBA reduces to one (nv,6) x
+(6,nv) matmul — MXU-friendly and trivially vmappable.
+
+Replaces MuJoCo's mj_crb / mj_rne / mj_passive / mj_fwdActuation (reference
+dependency C13).  Oracle-tested against mj_fullM, qfrc_bias, qfrc_passive,
+qfrc_actuator and qacc in tests/test_smooth.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mjcf.model import ACT_MOTOR, ACT_POSITION, JNT_FREE, PhysicsModel
+from .kinematics import Kin, ancestor_dof_pair_mask
+from .math import force_cross, motion_cross, skew
+
+
+def body_inertias(m: PhysicsModel, params, kin: Kin) -> jax.Array:
+    """(nbody, 6, 6) spatial inertia of each body about kin.ref, world axes.
+
+    H = [[I_c - m c~ c~,  m c~],
+         [-m c~,          m 1 ]]   with c = com - ref.
+    """
+    dtype = kin.xpos.dtype
+    mass = jnp.asarray(params["body_mass"], dtype)
+    diag = jnp.asarray(params["body_inertia"], dtype)
+    c = kin.xipos - kin.ref
+    R = kin.ximat
+    Ic = R @ (diag[..., None] * jnp.swapaxes(R, -1, -2))
+    cx = skew(c)
+    mcx = mass[:, None, None] * cx
+    eye = jnp.eye(3, dtype=dtype)
+    top = jnp.concatenate([Ic - mcx @ cx, mcx], axis=-1)
+    bot = jnp.concatenate([-mcx, mass[:, None, None] * eye], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def crba(m: PhysicsModel, params, kin: Kin) -> jax.Array:
+    """(nv, nv) joint-space inertia matrix (== mj_fullM + armature)."""
+    H = body_inertias(m, params, kin)
+    # composite inertias: backward accumulation over the static tree
+    Hc = [H[i] for i in range(m.nbody)]
+    for i in range(m.nbody - 1, 0, -1):
+        p = int(m.body_parentid[i])
+        if p:
+            Hc[p] = Hc[p] + Hc[i]
+    Hc = jnp.stack(Hc)
+    # f_d = Hc[body(d)] @ cdof_d ; M[e,d] = cdof_e . f_d on ancestor pairs
+    F = jnp.einsum("dij,dj->di", Hc[m.dof_bodyid], kin.cdof)
+    P = kin.cdof @ F.T
+    mask = jnp.asarray(ancestor_dof_pair_mask(m))
+    W = jnp.where(mask, P, 0.0)
+    M = W + W.T - jnp.diag(jnp.diag(W))
+    return M + jnp.diag(jnp.asarray(params["dof_armature"], M.dtype))
+
+
+def rne_bias(m: PhysicsModel, params, kin: Kin, qvel: jax.Array) -> jax.Array:
+    """(nv,) bias forces C(q,v)v + G(q)  (== mujoco qfrc_bias).
+
+    RNEA with qacc = 0 and base acceleration -g (gravity trick), in absolute
+    coordinates: a_i = a_parent + v_i x (S_rot qdot)  [S fixed in child body;
+    free-joint translation axes are world-fixed and contribute no bias].
+    """
+    dtype = qvel.dtype
+    gravity = jnp.asarray(params["gravity"], dtype)
+    H = body_inertias(m, params, kin)
+
+    a0 = jnp.concatenate([jnp.zeros(3, dtype), -gravity])
+    acc = [a0]
+    for i in range(1, m.nbody):
+        p = int(m.body_parentid[i])
+        a = acc[p]
+        v_i = kin.cvel[i]
+        for j in range(int(m.body_jntadr[i]), int(m.body_jntadr[i]) + int(m.body_jntnum[i])):
+            dadr = int(m.jnt_dofadr[j])
+            if m.jnt_type[j] == JNT_FREE:
+                sqd = kin.cdof[dadr + 3 : dadr + 6].T @ qvel[dadr + 3 : dadr + 6]
+            else:
+                sqd = kin.cdof[dadr] * qvel[dadr]
+            a = a + motion_cross(v_i, sqd)
+        acc.append(a)
+
+    # body forces f = H a + v x* (H v); backward accumulate; project on dofs
+    f = [None] * m.nbody
+    for i in range(1, m.nbody):
+        hv = H[i] @ kin.cvel[i]
+        f[i] = H[i] @ acc[i] + force_cross(kin.cvel[i], hv)
+    for i in range(m.nbody - 1, 0, -1):
+        p = int(m.body_parentid[i])
+        if p:
+            f[p] = f[p] + f[i]
+
+    qfrc = jnp.zeros(m.nv, dtype)
+    for j in range(m.njnt):
+        b = int(m.jnt_bodyid[j])
+        dadr = int(m.jnt_dofadr[j])
+        dnum = 6 if m.jnt_type[j] == JNT_FREE else 1
+        rows = kin.cdof[dadr : dadr + dnum] @ f[b]
+        qfrc = qfrc.at[dadr : dadr + dnum].set(rows)
+    return qfrc
+
+
+def passive_force(m: PhysicsModel, params, qvel: jax.Array) -> jax.Array:
+    """qfrc_passive: joint damping (springs unused by the Go1 models)."""
+    return -jnp.asarray(params["dof_damping"], qvel.dtype) * qvel
+
+
+def actuator_force(
+    m: PhysicsModel, params, qpos: jax.Array, qvel: jax.Array, ctrl: jax.Array
+) -> jax.Array:
+    """qfrc_actuator from clamped ctrl.
+
+    motor:    force = gear * ctrl                       (go1_torque.xml:216-227)
+    position: force = clamp(kp*(ctrl - q) - kv*qdot) * gear
+                                                        (go1_position.xml servos)
+    """
+    dtype = qpos.dtype
+    lo = jnp.asarray(m.actuator_ctrlrange[:, 0], dtype)
+    hi = jnp.asarray(m.actuator_ctrlrange[:, 1], dtype)
+    limited = jnp.asarray(m.actuator_ctrllimited)
+    c = jnp.where(limited, jnp.clip(ctrl, lo, hi), ctrl)
+
+    gear = jnp.asarray(params["actuator_gear"], dtype)
+    kp = jnp.asarray(params["actuator_kp"], dtype)
+    kv = jnp.asarray(m.actuator_kv, dtype)
+    qadr = m.jnt_qposadr[m.actuator_trnid]
+    dadr = m.jnt_dofadr[m.actuator_trnid]
+
+    motor_f = gear * c
+    pos_f = kp * (c - qpos[qadr]) - kv * qvel[dadr]
+    flo = jnp.asarray(m.actuator_forcerange[:, 0], dtype)
+    fhi = jnp.asarray(m.actuator_forcerange[:, 1], dtype)
+    flimited = jnp.asarray(m.actuator_forcelimited)
+    pos_f = jnp.where(flimited, jnp.clip(pos_f, flo, fhi), pos_f)
+    force = jnp.where(m.actuator_kind == ACT_MOTOR, motor_f, pos_f * gear)
+
+    qfrc = jnp.zeros(m.nv, dtype)
+    return qfrc.at[dadr].add(force)
+
+
+def smooth_dynamics(
+    m: PhysicsModel, params, kin: Kin, qpos, qvel, ctrl
+):
+    """Returns (M, qfrc_smooth, qacc_smooth, qfrc_actuator)."""
+    M = crba(m, params, kin)
+    bias = rne_bias(m, params, kin, qvel)
+    qfrc_act = actuator_force(m, params, qpos, qvel, ctrl)
+    qfrc_smooth = qfrc_act + passive_force(m, params, qvel) - bias
+    L = jnp.linalg.cholesky(M)
+    qacc_smooth = jax.scipy.linalg.cho_solve((L, True), qfrc_smooth)
+    return M, L, qfrc_smooth, qacc_smooth, qfrc_act

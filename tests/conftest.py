@@ -4,11 +4,14 @@ Multi-chip sharding is validated on host CPU devices
 (xla_force_host_platform_device_count) exactly as the driver's
 dryrun_multichip does; physics parity tests compare against the CPU
 mujoco oracle in float64.
+
+Note: pytest plugins may import jax before this conftest runs, so setting
+JAX_PLATFORMS via os.environ is not reliable here — use jax.config, which
+takes effect as long as no backend has been initialized yet.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu"
