@@ -1,0 +1,127 @@
+"""Go1 environment configuration.
+
+All constants mirror the reference's hard-coded class attributes
+(go1_mujoco_env.py:64-150) but are promoted to a structured, serializable
+config — the reference's curriculum pokes env internals via VecEnv
+set_attr (training_callback.py:64); here curriculum state (rand_power) is
+explicit functional input instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(eq=False)
+class RewardWeights:
+    """go1_mujoco_env.py:69-89."""
+
+    linear_vel_tracking: float = 2.0
+    angular_vel_tracking: float = 1.0
+    healthy: float = 1.0
+    feet_airtime: float = 5.0
+    recovery: float = 10.0
+    get_up: float = 20.0
+
+
+@dataclasses.dataclass(eq=False)
+class CostWeights:
+    """go1_mujoco_env.py:77-89."""
+
+    torque: float = 0.0002
+    vertical_vel: float = 2.0
+    xy_angular_vel: float = 0.05
+    action_rate: float = 0.01
+    joint_limit: float = 10.0
+    joint_velocity: float = 0.01
+    joint_acceleration: float = 2.0e-4
+    orientation: float = 1.0
+    collision: float = 1.0
+    default_joint_position: float = 0.1
+    unhealthy_state: float = 5.0
+
+
+@dataclasses.dataclass(eq=False)
+class BipedWeights:
+    """go1_mujoco_env.py:91-101."""
+
+    upright: float = 15.0
+    front_contact: float = 50.0
+    rear_feet_airborne: float = 5.0
+    front_foot_height: float = 8.0
+    crossed_legs: float = 5.0
+    low_rear_hips: float = 9.0
+    front_feet_below_hips: float = 6.0
+    abduction_joints: float = 0.7
+    unwanted_contact: float = 150.0
+    self_collision: float = 25.0
+
+
+@dataclasses.dataclass(eq=False)
+class DomainRandomization:
+    """Per-episode physics randomization (BASELINE.json config 3:
+    'Go1 + domain randomization (mass/friction/actuator latency)')."""
+
+    enabled: bool = False
+    friction_range: tuple = (0.6, 1.4)       # multiplier on geom friction
+    mass_range: tuple = (0.8, 1.2)           # multiplier on body mass
+    kp_range: tuple = (0.9, 1.1)             # position-servo gain multiplier
+    damping_range: tuple = (0.9, 1.1)
+    max_latency_steps: int = 0               # action delay in control steps
+
+
+@dataclasses.dataclass(eq=False)
+class Go1Config:
+    ctrl_type: str = "torque"                # scene_{ctrl_type}.xml selection
+    biped: bool = False
+    rand_power: float = 0.0                  # reset joint-noise scale
+    collision_mode: str = "plane"            # "plane" | "full" (biped)
+
+    frame_skip: int = 10                     # go1_mujoco_env.py:49
+    max_episode_time: float = 120.0          # go1_mujoco_env.py:64
+    max_unhealthy_time: float = 15.0         # go1_mujoco_env.py:130
+
+    # observation scales, go1_mujoco_env.py:110-115
+    obs_scale_lin_vel: float = 2.0
+    obs_scale_ang_vel: float = 0.25
+    obs_scale_dof_pos: float = 1.0
+    obs_scale_dof_vel: float = 0.05
+    clip_obs: float = 100.0                  # go1_mujoco_env.py:150
+
+    tracking_sigma: float = 0.25             # go1_mujoco_env.py:116
+
+    # healthy ranges, go1_mujoco_env.py:118-120 (note: applied to quat x/y
+    # components via state_vector[4:6], replicating the reference quirk)
+    healthy_z: tuple = (0.22, 1.8)
+    healthy_pitch: tuple = (-np.pi, 0.0)
+    healthy_roll: tuple = (-np.deg2rad(80), np.deg2rad(80))
+
+    desired_vel_min: tuple = (-0.5, 0.0, 0.0)  # go1_mujoco_env.py:107-108
+    desired_vel_max: tuple = (0.5, 0.0, 0.0)
+
+    fallen_start_prob: float = 0.2           # go1_mujoco_env.py:953
+    soft_joint_factor: float = 0.9           # go1_mujoco_env.py:134
+
+    rewards: RewardWeights = dataclasses.field(default_factory=RewardWeights)
+    costs: CostWeights = dataclasses.field(default_factory=CostWeights)
+    biped_weights: BipedWeights = dataclasses.field(default_factory=BipedWeights)
+    dr: DomainRandomization = dataclasses.field(
+        default_factory=DomainRandomization
+    )
+
+    # bipedal ready pose, go1_mujoco_env.py:32-39 / reset 967-972
+    biped_ready_joints: tuple = (
+        0.0, 4.0, -2.0, 0.0, 4.0, -2.0, 0.0, 2.8, -1.2, 0.0, 2.8, -1.2,
+    )
+    biped_ready_height: float = 0.65
+    biped_ready_pitch_deg: float = -95.0
+
+    @property
+    def dt(self) -> float:
+        return self.frame_skip * 0.002
+
+    @property
+    def max_episode_steps(self) -> int:
+        return int(self.max_episode_time / self.dt)

@@ -1,0 +1,280 @@
+"""On-device PPO: rollout, GAE, clipped updates — all fused under jit.
+
+Replaces the reference's SB3 PPO + SubprocVecEnv stack (train.py:44-136 /
+C14-C15 in SURVEY.md).  Where the reference ships 48 floats per env per
+step over multiprocessing pipes and runs torch updates on a single
+process, here simulation, policy inference, advantage estimation and the
+optimizer all live in HBM: one `lax.scan` collects the rollout (sim+policy
+fused), and the update epochs are a nested scan over shuffled minibatches.
+
+Hyperparameter defaults mirror the reference's SB3 settings (SURVEY.md §6:
+lr 3e-4, n_steps 2048, minibatch 64, 10 epochs, gamma 0.99, lambda 0.95,
+clip 0.2, vf_coef 0.5, max_grad_norm 0.5, Adam eps 1e-5), rescaled for
+thousands of on-device envs via config.
+
+Truncation bootstrapping follows SB3/gymnasium semantics: truncated
+episodes bootstrap from the value of the terminal observation, terminated
+ones do not.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..env.go1 import Go1Env
+from ..models.actor_critic import Policy
+
+
+@dataclasses.dataclass(eq=False)
+class PPOConfig:
+    num_envs: int = 4096
+    n_steps: int = 32               # rollout length per env per iteration
+    learning_rate: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_range: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.0
+    max_grad_norm: float = 0.5
+    n_epochs: int = 10
+    num_minibatches: int = 32
+    normalize_advantage: bool = True
+    adam_eps: float = 1e-5
+
+    @property
+    def batch_size(self) -> int:
+        return self.num_envs * self.n_steps
+
+    @property
+    def minibatch_size(self) -> int:
+        return self.batch_size // self.num_minibatches
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any                    # policy variables
+    opt_state: Any
+    env_state: Any                 # batched EnvState
+    obs: jax.Array                 # (B, obs_dim) current observations
+    rng: jax.Array
+    global_step: jax.Array         # i64/i32 total env steps so far
+    rand_power: jax.Array          # curriculum value pushed into resets
+
+
+@flax.struct.dataclass
+class Transition:
+    obs: jax.Array
+    action: jax.Array
+    log_prob: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    terminated: jax.Array
+    done: jax.Array
+    bootstrap_value: jax.Array     # V(terminal or next obs) used in GAE
+    info: Any
+
+
+class PPO:
+    """Static trainer object (hashable by identity for jit)."""
+
+    def __init__(
+        self, env: Go1Env, cfg: PPOConfig, policy: Policy | None = None,
+        axis_name: str | None = None,
+    ):
+        self.env = env
+        self.cfg = cfg
+        self.policy = policy or Policy.make(act_dim=env.nu)
+        self.axis_name = axis_name  # set for multi-chip shard_map DP
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.learning_rate, eps=cfg.adam_eps),
+        )
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, rng: jax.Array, rand_power: float = 0.0) -> TrainState:
+        k_pol, k_env, k_train = jax.random.split(rng, 3)
+        variables = self.policy.init(k_pol)
+        opt_state = self.tx.init(variables)
+        keys = jax.random.split(k_env, self.cfg.num_envs)
+        env_state = jax.vmap(lambda k: self.env.reset(k, rand_power=rand_power))(keys)
+        obs = jax.vmap(self.env.obs)(env_state)
+        return TrainState(
+            params=variables,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=obs.astype(jnp.float32),
+            rng=k_train,
+            global_step=jnp.zeros((), jnp.int64)
+            if jax.config.read("jax_enable_x64") else jnp.zeros((), jnp.int32),
+            rand_power=jnp.asarray(rand_power, jnp.float32),
+        )
+
+    # --------------------------------------------------------------- rollout
+
+    def _rollout_step(self, carry, _):
+        ts = carry
+        rng, k_act = jax.random.split(ts.rng)
+        action, log_prob, value, _ = self.policy.sample(ts.params, ts.obs, k_act)
+        env_state, obs, reward, terminated, truncated, info = jax.vmap(
+            self.env.step_autoreset
+        )(ts.env_state, action)
+        done = terminated | truncated
+        # SB3-style truncation bootstrap: V(terminal_obs) for truncated,
+        # masked for terminated; info carries the pre-reset observation
+        term_obs = info.pop("terminal_observation")
+        _, _, term_value = self.policy.apply(ts.params, term_obs)
+        bootstrap = jnp.where(terminated, 0.0, term_value)
+        tr = Transition(
+            obs=ts.obs,
+            action=action,
+            log_prob=log_prob,
+            value=value,
+            reward=reward.astype(jnp.float32),
+            terminated=terminated,
+            done=done,
+            bootstrap_value=bootstrap.astype(jnp.float32),
+            info=info,
+        )
+        ts = dataclasses.replace(
+            ts, env_state=env_state, obs=obs.astype(jnp.float32), rng=rng,
+            global_step=ts.global_step + self.cfg.num_envs,
+        )
+        return ts, tr
+
+    def rollout(self, ts: TrainState):
+        ts, traj = jax.lax.scan(
+            self._rollout_step, ts, None, length=self.cfg.n_steps
+        )
+        return ts, traj
+
+    # ------------------------------------------------------------------- GAE
+
+    def gae(self, traj: Transition, last_value: jax.Array):
+        cfg = self.cfg
+
+        def body(carry, tr):
+            gae_next, value_next = carry
+            # on done steps the next state belongs to a new episode: use the
+            # stored bootstrap value (0 if terminated, V(terminal) truncated)
+            v_next = jnp.where(tr.done, tr.bootstrap_value, value_next)
+            nonterm = 1.0 - tr.done.astype(jnp.float32)
+            delta = tr.reward + cfg.gamma * v_next - tr.value
+            gae = delta + cfg.gamma * cfg.gae_lambda * nonterm * gae_next
+            return (gae, tr.value), gae
+
+        zeros = jnp.zeros_like(last_value)
+        _, advantages = jax.lax.scan(
+            body, (zeros, last_value), traj, reverse=True
+        )
+        returns = advantages + traj.value
+        return advantages, returns
+
+    # ---------------------------------------------------------------- update
+
+    def _loss(self, params, batch):
+        cfg = self.cfg
+        obs, action, old_logp, old_value, adv, ret = batch
+        mean, log_std, value = self.policy.apply(params, obs)
+        logp = Policy.log_prob(mean, log_std, action)
+        ratio = jnp.exp(logp - old_logp)
+        if cfg.normalize_advantage:
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = -adv * ratio
+        pg2 = -adv * jnp.clip(ratio, 1.0 - cfg.clip_range, 1.0 + cfg.clip_range)
+        pg_loss = jnp.maximum(pg1, pg2).mean()
+        v_loss = 0.5 * jnp.square(ret - value).mean()
+        ent = Policy.entropy(log_std).mean()
+        loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+        clipfrac = (jnp.abs(ratio - 1.0) > cfg.clip_range).mean()
+        approx_kl = ((ratio - 1.0) - jnp.log(ratio)).mean()
+        return loss, dict(
+            loss=loss, pg_loss=pg_loss, v_loss=v_loss, entropy=ent,
+            clip_fraction=clipfrac, approx_kl=approx_kl,
+        )
+
+    def update(self, ts: TrainState, traj: Transition):
+        cfg = self.cfg
+        _, _, last_value = self.policy.apply(ts.params, ts.obs)
+        advantages, returns = self.gae(traj, last_value)
+
+        # batch size from actual shapes: under shard_map this is the LOCAL
+        # shard, not cfg.num_envs * n_steps
+        T, B = traj.reward.shape
+        batch = T * B
+        mb_size = batch // cfg.num_minibatches
+
+        flat = jax.tree.map(
+            lambda x: x.reshape((batch,) + x.shape[2:]),
+            (traj.obs, traj.action, traj.log_prob, traj.value, advantages,
+             returns),
+        )
+
+        def epoch(carry, _):
+            params, opt_state, rng = carry
+            rng, k = jax.random.split(rng)
+            perm = jax.random.permutation(k, batch)
+            shuffled = jax.tree.map(lambda x: x[perm], flat)
+            mb = jax.tree.map(
+                lambda x: x.reshape(
+                    (cfg.num_minibatches, mb_size) + x.shape[1:]
+                ),
+                shuffled,
+            )
+
+            def minibatch(carry, batch_):
+                params, opt_state = carry
+                grads, metrics = jax.grad(self._loss, has_aux=True)(
+                    params, batch_
+                )
+                if self.axis_name is not None:
+                    grads = jax.lax.pmean(grads, self.axis_name)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch, (params, opt_state), mb
+            )
+            return (params, opt_state, rng), metrics
+
+        (params, opt_state, rng), metrics = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, ts.rng), None, length=cfg.n_epochs
+        )
+        ts = dataclasses.replace(
+            ts, params=params, opt_state=opt_state, rng=rng
+        )
+        metrics = jax.tree.map(lambda x: x.mean(), metrics)
+        return ts, metrics
+
+    # ------------------------------------------------------------- iteration
+
+    def _train_iteration_impl(self, ts: TrainState):
+        """rollout + update; returns (ts, metrics dict).  Not jitted —
+        wrapped by train_iteration (single chip) or the shard_map builder
+        in parallel.mesh (multi-chip)."""
+        ts, traj = self.rollout(ts)
+        ts, metrics = self.update(ts, traj)
+        metrics = dict(
+            metrics,
+            mean_reward=traj.reward.mean(),
+            mean_episode_nonterm=1.0 - traj.done.mean(),
+        )
+        return ts, metrics
+
+    @partial(jax.jit, static_argnums=0)
+    def train_iteration(self, ts: TrainState):
+        return self._train_iteration_impl(ts)

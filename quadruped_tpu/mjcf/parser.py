@@ -193,28 +193,33 @@ class _Builder:
 
     # ---- worldbody recursion ----------------------------------------------
 
-    def parse_body(self, elem: ET.Element, parent_id: int, cls: str):
-        body_id = len(self.bodies)
-        if elem.tag == "worldbody":
-            body = dict(
+    def add_world(self):
+        self.bodies.append(
+            dict(
                 name="world",
                 parent=-1,
                 pos=np.zeros(3),
                 quat=np.array([1.0, 0, 0, 0]),
                 inertial=None,
             )
-        else:
-            cls = elem.get("childclass", cls)
-            a = elem.attrib
-            body = dict(
-                name=a.get("name", f"body{body_id}"),
-                parent=parent_id,
-                pos=_floats(a.get("pos", "0 0 0")),
-                quat=self._orient(a),
-                inertial=None,
-            )
-        self.bodies.append(body)
+        )
 
+    def parse_body(self, elem: ET.Element, parent_id: int, cls: str):
+        body_id = len(self.bodies)
+        cls = elem.get("childclass", cls)
+        a = elem.attrib
+        body = dict(
+            name=a.get("name", f"body{body_id}"),
+            parent=parent_id,
+            pos=_floats(a.get("pos", "0 0 0")),
+            quat=self._orient(a),
+            inertial=None,
+        )
+        self.bodies.append(body)
+        self.parse_body_children(elem, body_id, cls)
+
+    def parse_body_children(self, elem: ET.Element, body_id: int, cls: str):
+        body = self.bodies[body_id]
         for child in elem:
             if child.tag == "inertial":
                 body["inertial"] = dict(
@@ -449,10 +454,14 @@ def parse_raw(root: ET.Element) -> "RawSpec":
         opt.iterations = int(oe.get("iterations", opt.iterations))
 
     b = _Builder(defaults)
-    wb = root.find("worldbody")
-    if wb is None:
+    wbs = root.findall("worldbody")
+    if not wbs:
         raise ValueError("MJCF has no worldbody")
-    b.parse_body(wb, -1, "main")
+    b.add_world()
+    # multiple worldbody sections appear after <include> splicing; MuJoCo
+    # merges them all into the single world body
+    for wb in wbs:
+        b.parse_body_children(wb, 0, wb.get("childclass", "main"))
     for ae in root.findall("actuator"):
         b.parse_actuator(ae, "main")
     for ke in root.findall("keyframe"):
@@ -460,9 +469,13 @@ def parse_raw(root: ET.Element) -> "RawSpec":
 
     # drop mesh geoms (visual-only; bodies have explicit inertials)
     geoms = [g for g in b.geoms if g["type"] != GEOM_MESH]
+    # MjModel groups geoms/sites by body id (stable within a body); match
+    # that ordering so indices line up with the mujoco oracle
+    geoms.sort(key=lambda g: g["body"])
+    sites = sorted(b.sites, key=lambda s: s["body"])
     return RawSpec(
         opt=opt, bodies=b.bodies, joints=b.joints, geoms=geoms,
-        sites=b.sites, actuators=b.actuators, keys=b.keys,
+        sites=sites, actuators=b.actuators, keys=b.keys,
     )
 
 

@@ -1,0 +1,451 @@
+"""Static-shape collision detection.
+
+The candidate contact set is fixed at compile time: every geom pair that can
+collide (contype/conaffinity mask, same-body and parent-child exclusion —
+MuJoCo's filtering rules) contributes a fixed number of candidate contacts
+per narrowphase type (sphere-plane 1, capsule-plane 2, cylinder-plane 4,
+box-plane 8, convex-convex 1).  At runtime every candidate produces a
+(dist, pos, normal) triple and an `active = dist < includemargin` mask —
+no dynamic shapes, so the whole thing vmaps over thousands of envs and
+feeds a fixed-size constraint system.
+
+Pair parameter combination follows MuJoCo: higher-priority geom wins all
+params; on equal priority condim = max, friction = elementwise max,
+solref/solimp = solmix-weighted mean, margin/gap = sum (oracle-verified).
+
+Replaces MuJoCo's broadphase + narrowphase (reference dependency C13:
+soft foot contacts solimp="0.015 1 0.031" condim=6, go1_torque.xml:63-67).
+
+Known deviation: plane-cylinder uses 4 rim-point candidates instead of
+MuJoCo's disc algorithm, and cylinders act as capsules against non-plane
+geoms (affects rare fallen-on-hip states; feet/calves/thighs/trunk-box
+contacts — everything the rewards read — use exact narrowphase).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mjcf.model import (
+    GEOM_BOX,
+    GEOM_CAPSULE,
+    GEOM_CYLINDER,
+    GEOM_PLANE,
+    GEOM_SPHERE,
+    PhysicsModel,
+)
+
+_MJMINVAL = 1e-15
+
+
+@dataclasses.dataclass(eq=False)
+class ContactGroup:
+    """Candidates of one narrowphase type (static metadata, numpy)."""
+
+    kind: str                 # "plane_sphere", "plane_capsule", ...
+    geom1: np.ndarray         # (npair,) int — geom1 is the plane for plane_*
+    geom2: np.ndarray
+    body1: np.ndarray
+    body2: np.ndarray
+    cand_per_pair: int
+
+    # combined contact params, one row per pair
+    condim: np.ndarray        # (npair,) int
+    friction: np.ndarray      # (npair, 5)
+    solref: np.ndarray        # (npair, 2)
+    solimp: np.ndarray        # (npair, 5)
+    margin: np.ndarray        # (npair,)
+    includemargin: np.ndarray  # (npair,)
+
+    @property
+    def ncand(self) -> int:
+        return len(self.geom1) * self.cand_per_pair
+
+
+@dataclasses.dataclass(eq=False)
+class CollisionTable:
+    groups: list[ContactGroup]
+
+    @property
+    def ncand(self) -> int:
+        return sum(g.ncand for g in self.groups)
+
+    def cand_meta(self, field) -> np.ndarray:
+        """Per-candidate static metadata, concatenated across groups."""
+        out = []
+        for g in self.groups:
+            v = getattr(g, field)
+            out.append(np.repeat(v, g.cand_per_pair, axis=0))
+        return np.concatenate(out, axis=0)
+
+
+def _combine_pair(m: PhysicsModel, g1: int, g2: int) -> dict:
+    """MuJoCo contact parameter combination for a geom pair."""
+    p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+    if p1 != p2:
+        w = g1 if p1 > p2 else g2
+        condim = int(m.geom_condim[w])
+        friction3 = m.geom_friction[w]
+        solref = m.geom_solref[w]
+        solimp = m.geom_solimp[w]
+    else:
+        condim = int(max(m.geom_condim[g1], m.geom_condim[g2]))
+        friction3 = np.maximum(m.geom_friction[g1], m.geom_friction[g2])
+        mix = m.geom_solmix[g1] / max(
+            m.geom_solmix[g1] + m.geom_solmix[g2], _MJMINVAL
+        )
+        solref = mix * m.geom_solref[g1] + (1 - mix) * m.geom_solref[g2]
+        solimp = mix * m.geom_solimp[g1] + (1 - mix) * m.geom_solimp[g2]
+    margin = float(m.geom_margin[g1] + m.geom_margin[g2])
+    gap = float(m.geom_gap[g1] + m.geom_gap[g2])
+    friction5 = np.array(
+        [friction3[0], friction3[0], friction3[1], friction3[2], friction3[2]]
+    )
+    return dict(
+        condim=condim,
+        friction=friction5,
+        solref=solref,
+        solimp=solimp,
+        margin=margin,
+        includemargin=margin - gap,
+    )
+
+
+def _collide_mask(m: PhysicsModel, g1: int, g2: int) -> bool:
+    b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
+    if b1 == b2:
+        return False
+    # parent-child exclusion (unless parent is world)
+    if m.body_parentid[b2] == b1 and b1 != 0:
+        return False
+    if m.body_parentid[b1] == b2 and b2 != 0:
+        return False
+    t1 = int(m.geom_contype[g1]) & int(m.geom_conaffinity[g2])
+    t2 = int(m.geom_contype[g2]) & int(m.geom_conaffinity[g1])
+    return bool(t1 or t2)
+
+
+_CAND_PER_KIND = {
+    "plane_sphere": 1,
+    "plane_capsule": 2,
+    "plane_cylinder": 4,
+    "plane_box": 8,
+    "sphere_sphere": 1,
+    "sphere_capsule": 1,
+    "capsule_capsule": 1,
+    "sphere_box": 1,
+    "capsule_box": 2,
+}
+
+
+def build_table(m: PhysicsModel, mode: str = "plane") -> CollisionTable:
+    """Build the static candidate table.
+
+    mode="plane": only geom-vs-plane pairs (flat-terrain quadruped training;
+    matches every contact the reference rewards observe on flat ground).
+    mode="full": adds robot self-collision pairs (biped mode needs these for
+    the self_collision / unwanted_contact costs, go1_mujoco_env.py:269-312).
+    """
+    planes = [i for i in range(m.ngeom) if m.geom_type[i] == GEOM_PLANE]
+    others = [i for i in range(m.ngeom) if m.geom_type[i] != GEOM_PLANE]
+
+    def kind_of(t1, t2):
+        names = {
+            GEOM_SPHERE: "sphere",
+            GEOM_CAPSULE: "capsule",
+            GEOM_CYLINDER: "cylinder",
+            GEOM_BOX: "box",
+        }
+        return names[t1], names[t2]
+
+    buckets: dict[str, list] = {}
+
+    def add(kind, g1, g2):
+        buckets.setdefault(kind, []).append((g1, g2))
+
+    for p in planes:
+        for g in others:
+            if not _collide_mask(m, p, g):
+                continue
+            tname = kind_of(m.geom_type[g], m.geom_type[g])[0]
+            add(f"plane_{tname}", p, g)
+
+    if mode == "full":
+        order = {GEOM_SPHERE: 0, GEOM_CAPSULE: 1, GEOM_CYLINDER: 1, GEOM_BOX: 2}
+        for i, g1 in enumerate(others):
+            for g2 in others[i + 1 :]:
+                if not _collide_mask(m, g1, g2):
+                    continue
+                t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
+                # cylinders approximated as capsules vs non-planes
+                t1 = GEOM_CAPSULE if t1 == GEOM_CYLINDER else t1
+                t2 = GEOM_CAPSULE if t2 == GEOM_CYLINDER else t2
+                if order[t1] > order[t2]:
+                    g1, g2, t1, t2 = g2, g1, t2, t1
+                n1, n2 = kind_of(t1, t2)
+                kind = f"{n1}_{n2}"
+                if kind == "box_box":
+                    continue  # no box-box pairs on the Go1
+                add(kind, g1, g2)
+
+    groups = []
+    for kind, pairs in sorted(buckets.items()):
+        meta = [_combine_pair(m, g1, g2) for g1, g2 in pairs]
+        groups.append(
+            ContactGroup(
+                kind=kind,
+                geom1=np.array([p[0] for p in pairs], dtype=np.int32),
+                geom2=np.array([p[1] for p in pairs], dtype=np.int32),
+                body1=m.geom_bodyid[[p[0] for p in pairs]].copy(),
+                body2=m.geom_bodyid[[p[1] for p in pairs]].copy(),
+                cand_per_pair=_CAND_PER_KIND[kind],
+                condim=np.array([d["condim"] for d in meta], dtype=np.int32),
+                friction=np.stack([d["friction"] for d in meta]),
+                solref=np.stack([d["solref"] for d in meta]),
+                solimp=np.stack([d["solimp"] for d in meta]),
+                margin=np.array([d["margin"] for d in meta]),
+                includemargin=np.array([d["includemargin"] for d in meta]),
+            )
+        )
+    return CollisionTable(groups=groups)
+
+
+# ---------------------------------------------------------------------------
+# Narrowphase: every routine returns (dist, pos, normal) for a fixed number
+# of candidates per pair; normal points from geom1 into geom2 (MuJoCo
+# convention); pos is the midpoint between surfaces.
+# ---------------------------------------------------------------------------
+
+
+def _plane_frame(xmat):
+    return xmat[..., :, 2]  # plane normal = +z column
+
+
+def _plane_sphere(n, ppos, center, r):
+    dist = jnp.sum(n * (center - ppos), axis=-1) - r
+    pos = center - n * (r + 0.5 * dist)[..., None]
+    return dist[..., None], pos[..., None, :], jnp.broadcast_to(n[..., None, :], pos[..., None, :].shape)
+
+
+def _plane_capsule(n, ppos, xpos, xmat, r, half):
+    axis = xmat[..., :, 2]
+    ends = jnp.stack(
+        [xpos + half[..., None] * axis, xpos - half[..., None] * axis], axis=-2
+    )
+    dist = jnp.sum(n[..., None, :] * (ends - ppos[..., None, :]), axis=-1) - r[..., None]
+    pos = ends - n[..., None, :] * (r[..., None] + 0.5 * dist)[..., None]
+    normal = jnp.broadcast_to(n[..., None, :], pos.shape)
+    return dist, pos, normal
+
+
+def _plane_cylinder(n, ppos, xpos, xmat, r, half):
+    """4 rim candidates: lowest rim point of each end disc, plus the two
+    opposite rim points (covers both side-lying and flat-disc states)."""
+    axis = xmat[..., :, 2]
+    # in-disc direction toward the plane
+    d = -(n - axis * jnp.sum(n * axis, axis=-1, keepdims=True))
+    dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    safe = dn > 1e-8
+    # fallback when disc is parallel to plane: any radial direction
+    d = jnp.where(safe, d / jnp.maximum(dn, 1e-12), xmat[..., :, 0])
+    pts = jnp.stack(
+        [
+            xpos + half[..., None] * axis + r[..., None] * d,
+            xpos - half[..., None] * axis + r[..., None] * d,
+            xpos + half[..., None] * axis - r[..., None] * d,
+            xpos - half[..., None] * axis - r[..., None] * d,
+        ],
+        axis=-2,
+    )
+    dist = jnp.sum(n[..., None, :] * (pts - ppos[..., None, :]), axis=-1)
+    pos = pts - n[..., None, :] * (0.5 * dist)[..., None]
+    normal = jnp.broadcast_to(n[..., None, :], pos.shape)
+    return dist, pos, normal
+
+
+def _plane_box(n, ppos, xpos, xmat, size):
+    corners = jnp.asarray(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        dtype=xpos.dtype,
+    )  # (8, 3)
+    pts = xpos[..., None, :] + jnp.einsum(
+        "...ij,...cj->...ci", xmat, corners * size[..., None, :]
+    )
+    dist = jnp.sum(n[..., None, :] * (pts - ppos[..., None, :]), axis=-1)
+    pos = pts - n[..., None, :] * (0.5 * dist)[..., None]
+    normal = jnp.broadcast_to(n[..., None, :], pos.shape)
+    return dist, pos, normal
+
+
+def _sphere_sphere(p1, r1, p2, r2):
+    d = p2 - p1
+    dn = jnp.linalg.norm(d, axis=-1)
+    n = d / jnp.maximum(dn, 1e-12)[..., None]
+    dist = dn - (r1 + r2)
+    pos = p1 + n * (r1 + 0.5 * dist)[..., None]
+    return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _closest_on_segment(a_pos, a_axis, a_half, p):
+    t = jnp.sum((p - a_pos) * a_axis, axis=-1)
+    t = jnp.clip(t, -a_half, a_half)
+    return a_pos + t[..., None] * a_axis
+
+
+def _sphere_capsule(pc, r1, cpos, cmat, r2, half):
+    axis = cmat[..., :, 2]
+    q = _closest_on_segment(cpos, axis, half, pc)
+    return _sphere_sphere(pc, r1, q, r2)
+
+
+def _segment_segment(p1, a1, h1, p2, a2, h2):
+    """Closest points between two segments (standard clamped solve)."""
+    r = p1 - p2
+    A = jnp.sum(a1 * a1, axis=-1)
+    B = jnp.sum(a1 * a2, axis=-1)
+    C = jnp.sum(a2 * a2, axis=-1)
+    D = jnp.sum(a1 * r, axis=-1)
+    E = jnp.sum(a2 * r, axis=-1)
+    den = A * C - B * B
+    s = jnp.where(den > 1e-12, (B * E - C * D) / jnp.maximum(den, 1e-12), 0.0)
+    s = jnp.clip(s, -h1, h1)
+    t = jnp.clip((B * s + E) / jnp.maximum(C, 1e-12), -h2, h2)
+    s = jnp.clip((B * t - D) / jnp.maximum(A, 1e-12), -h1, h1)
+    return p1 + s[..., None] * a1, p2 + t[..., None] * a2
+
+
+def _capsule_capsule(p1, m1, r1, h1, p2, m2, r2, h2):
+    q1, q2 = _segment_segment(p1, m1[..., :, 2], h1, p2, m2[..., :, 2], h2)
+    return _sphere_sphere(q1, r1, q2, r2)
+
+
+def _closest_on_box(bpos, bmat, size, p):
+    local = jnp.einsum("...ji,...j->...i", bmat, p - bpos)
+    clamped = jnp.clip(local, -size, size)
+    return bpos + jnp.einsum("...ij,...j->...i", bmat, clamped)
+
+
+def _sphere_box(pc, r, bpos, bmat, size):
+    q = _closest_on_box(bpos, bmat, size, pc)
+    d = q - pc
+    dn = jnp.linalg.norm(d, axis=-1)
+    # if center inside box, dn ~ 0: push out along largest-penetration axis
+    n = d / jnp.maximum(dn, 1e-12)[..., None]
+    dist = dn - r
+    pos = pc + n * (r + 0.5 * dist)[..., None]
+    return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _capsule_box(cpos, cmat, r, half, bpos, bmat, size):
+    axis = cmat[..., :, 2]
+    out_d, out_p, out_n = [], [], []
+    for sgn in (1.0, -1.0):
+        end = cpos + sgn * half[..., None] * axis
+        # iterate closest-point between segment and box twice
+        q = _closest_on_box(bpos, bmat, size, end)
+        s = _closest_on_segment(cpos, axis, half, q)
+        q = _closest_on_box(bpos, bmat, size, s)
+        d = q - s
+        dn = jnp.linalg.norm(d, axis=-1)
+        n = d / jnp.maximum(dn, 1e-12)[..., None]
+        dist = dn - r
+        pos = s + n * (r + 0.5 * dist)[..., None]
+        out_d.append(dist)
+        out_p.append(pos)
+        out_n.append(n)
+    return (
+        jnp.stack(out_d, axis=-1),
+        jnp.stack(out_p, axis=-2),
+        jnp.stack(out_n, axis=-2),
+    )
+
+
+def narrowphase(m: PhysicsModel, table: CollisionTable, kin):
+    """Run all groups; returns per-candidate (dist, pos, frame) with
+    dist/pos/frame shapes (ncand,), (ncand,3), (ncand,3,3).
+
+    frame rows are (normal, tangent1, tangent2) — mju_makeFrame-compatible.
+    """
+    gx, gm = kin.geom_xpos, kin.geom_xmat
+    size = jnp.asarray(m.geom_size, gx.dtype)
+
+    dists, poss, frames = [], [], []
+    for g in table.groups:
+        i1, i2 = g.geom1, g.geom2
+        if g.kind == "plane_sphere":
+            n = _plane_frame(gm[i1])
+            d, p, nn = _plane_sphere(n, gx[i1], gx[i2], size[i2, 0])
+        elif g.kind == "plane_capsule":
+            n = _plane_frame(gm[i1])
+            d, p, nn = _plane_capsule(n, gx[i1], gx[i2], gm[i2], size[i2, 0], size[i2, 1])
+        elif g.kind == "plane_cylinder":
+            n = _plane_frame(gm[i1])
+            d, p, nn = _plane_cylinder(n, gx[i1], gx[i2], gm[i2], size[i2, 0], size[i2, 1])
+        elif g.kind == "plane_box":
+            n = _plane_frame(gm[i1])
+            d, p, nn = _plane_box(n, gx[i1], gx[i2], gm[i2], size[i2])
+        elif g.kind == "sphere_sphere":
+            d, p, nn = _sphere_sphere(gx[i1], size[i1, 0], gx[i2], size[i2, 0])
+        elif g.kind == "sphere_capsule":
+            d, p, nn = _sphere_capsule(gx[i1], size[i1, 0], gx[i2], gm[i2], size[i2, 0], size[i2, 1])
+        elif g.kind == "capsule_capsule":
+            d, p, nn = _capsule_capsule(
+                gx[i1], gm[i1], size[i1, 0], size[i1, 1],
+                gx[i2], gm[i2], size[i2, 0], size[i2, 1],
+            )
+        elif g.kind == "sphere_box":
+            d, p, nn = _sphere_box(gx[i1], size[i1, 0], gx[i2], gm[i2], size[i2])
+        elif g.kind == "capsule_box":
+            d, p, nn = _capsule_box(
+                gx[i1], gm[i1], size[i1, 0], size[i1, 1],
+                gx[i2], gm[i2], size[i2],
+            )
+        else:
+            raise NotImplementedError(g.kind)
+        d = d.reshape(-1)
+        p = p.reshape(-1, 3)
+        nn = nn.reshape(-1, 3)
+        if g.kind == "plane_capsule":
+            # oracle behavior: t1 = capsule axis projected onto the plane
+            # (normalized), t2 = n x t1; falls back to plane axes when the
+            # axis is parallel to the normal
+            axis = jnp.repeat(gm[i2][..., :, 2], g.cand_per_pair, axis=0)
+            proj = axis - jnp.sum(axis * nn, axis=-1, keepdims=True) * nn
+            pn = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+            px_fb = jnp.repeat(gm[i1][..., :, 0], g.cand_per_pair, axis=0)
+            t1 = jnp.where(pn > 1e-8, proj / jnp.maximum(pn, 1e-12), px_fb)
+            t2 = jnp.cross(nn, t1)
+            fr = jnp.stack([nn, t1, t2], axis=-2)
+        elif g.kind in ("plane_cylinder", "plane_box"):
+            # plane x/y axes (friction is tangent-isotropic so the exact
+            # basis does not affect dynamics; see tests)
+            px = jnp.repeat(gm[i1][..., :, 0], g.cand_per_pair, axis=0)
+            py = jnp.repeat(gm[i1][..., :, 1], g.cand_per_pair, axis=0)
+            fr = jnp.stack([nn, px, py], axis=-2)
+        else:
+            fr = make_frame(nn)
+        dists.append(d)
+        poss.append(p)
+        frames.append(fr)
+
+    dist = jnp.concatenate(dists)
+    pos = jnp.concatenate(poss, axis=0)
+    frame = jnp.concatenate(frames, axis=0)
+    return dist, pos, frame
+
+
+def make_frame(n: jax.Array) -> jax.Array:
+    """Right-handed frame with rows (n, t1, t2) matching mju_makeFrame
+    (verified on oracle contacts): helper axis a = y-hat if |n_y| < 0.5
+    else z-hat; t2 = normalize(n x a); t1 = t2 x n."""
+    y = jnp.zeros_like(n).at[..., 1].set(1.0)
+    z = jnp.zeros_like(n).at[..., 2].set(1.0)
+    a = jnp.where((jnp.abs(n[..., 1]) < 0.5)[..., None], y, z)
+    t2 = jnp.cross(n, a)
+    t2 = t2 / jnp.maximum(jnp.linalg.norm(t2, axis=-1, keepdims=True), 1e-12)
+    t1 = jnp.cross(t2, n)
+    return jnp.stack([n, t1, t2], axis=-2)

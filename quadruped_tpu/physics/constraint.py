@@ -1,0 +1,335 @@
+"""Constraint assembly: MuJoCo's soft-constraint model with static shapes.
+
+Row layout (fixed at compile time):
+  [dof friction rows | joint limit rows | ncand x 6 contact rows]
+Inactive rows (limit not near, contact candidate beyond includemargin,
+condim < 6 spare rows) are masked: they contribute zero force/penalty but
+keep every shape static for vmap/jit.
+
+All formulas below were reverse-verified against mjData.efc_* on the Go1
+model (see tests/test_constraint.py):
+  impedance d(x): solimp=(dmin,dmax,width,mid,power), x=|pos-margin|/width
+  K = 1/(dmax^2 tc^2 dr^2), B = 2/(dmax tc), dmax clamped to [1e-4, 0.9999]
+  aref_i = -B (J qvel)_i - K d (pos_i - margin_i)
+  R_i = max(1e-15, (1-d)/d * diagApprox_i);  D_i = 1/R_i
+  contact friction rows: R_i = R_normal / impratio * (mu_1/mu_i)^2
+  diagApprox: dof rows -> dof_invweight0; contact normals ->
+  body_invweight0[b1,0] + body_invweight0[b2,0]  (computed at qpos0 with
+  our own CRBA, validated against MjModel.*_invweight0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mjcf.model import JNT_HINGE, PhysicsModel
+from .collision import CollisionTable, narrowphase
+from .kinematics import Kin, ancestor_dof_mask, fk
+from . import smooth
+
+_MAXIMP = 0.9999
+_MINIMP = 1e-4
+_MINVAL = 1e-15
+
+
+# ---------------------------------------------------------------------------
+# compile-time invweights (MuJoCo mj_setConst equivalents)
+# ---------------------------------------------------------------------------
+
+_INVW_CACHE: dict[int, tuple] = {}
+
+
+def invweights(m: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
+    """(dof_invweight0 (nv,), body_invweight0 (nbody, 2)) at qpos0."""
+    if id(m) in _INVW_CACHE:
+        return _INVW_CACHE[id(m)]
+    qpos0 = jnp.asarray(m.qpos0)
+    qvel0 = jnp.zeros(m.nv)
+    kin = fk(m, qpos0, qvel0)
+    M = np.asarray(smooth.crba(m, m.params(), kin))
+    Minv = np.linalg.inv(M)
+    dof_invw = np.diag(Minv).copy()
+    # free joints: MuJoCo averages the 3 translational / 3 rotational
+    # diagonal entries per block (oracle-verified)
+    from ..mjcf.model import JNT_FREE
+
+    for j in range(m.njnt):
+        if m.jnt_type[j] == JNT_FREE:
+            adr = int(m.jnt_dofadr[j])
+            dof_invw[adr : adr + 3] = dof_invw[adr : adr + 3].mean()
+            dof_invw[adr + 3 : adr + 6] = dof_invw[adr + 3 : adr + 6].mean()
+
+    body_invw = np.zeros((m.nbody, 2))
+    mask = ancestor_dof_mask(m)
+    cdof = np.asarray(kin.cdof)
+    ref = np.asarray(kin.ref)
+    xipos = np.asarray(kin.xipos)
+    for b in range(1, m.nbody):
+        arm = xipos[b] - ref
+        jt = (cdof[:, 3:] + np.cross(cdof[:, :3], arm[None, :])) * mask[b][:, None]
+        jr = cdof[:, :3] * mask[b][:, None]
+        At = jt.T @ Minv @ jt
+        Ar = jr.T @ Minv @ jr
+        body_invw[b, 0] = np.trace(At) / 3.0
+        body_invw[b, 1] = np.trace(Ar) / 3.0
+    _INVW_CACHE[id(m)] = (dof_invw, body_invw)
+    return dof_invw, body_invw
+
+
+# ---------------------------------------------------------------------------
+# static efc layout
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(eq=False)
+class EfcLayout:
+    """Static structure of the constraint system for one model+table."""
+
+    friction_dofs: np.ndarray      # (nf,) dof indices with frictionloss > 0
+    limit_joints: np.ndarray       # (nl,) joint indices with limits
+    ncon: int                      # number of contact candidates
+    nefc: int                      # nf + nl + 6*ncon
+
+    # per-candidate static contact metadata
+    con_body1: np.ndarray          # (ncon,)
+    con_body2: np.ndarray
+    con_condim: np.ndarray         # (ncon,)
+    con_friction: np.ndarray       # (ncon, 5)
+    con_solref: np.ndarray         # (ncon, 2)
+    con_solimp: np.ndarray         # (ncon, 5)
+    con_margin: np.ndarray         # (ncon,)
+    con_includemargin: np.ndarray  # (ncon,)
+    con_diagapprox: np.ndarray     # (ncon,)  invweight sum for normal rows
+
+
+def build_layout(m: PhysicsModel, table: CollisionTable) -> EfcLayout:
+    dof_invw, body_invw = invweights(m)
+    friction_dofs = np.where(m.dof_frictionloss > 0)[0].astype(np.int32)
+    limit_joints = np.where(m.jnt_limited & (m.jnt_type == JNT_HINGE))[0].astype(
+        np.int32
+    )
+    b1 = table.cand_meta("body1")
+    b2 = table.cand_meta("body2")
+    ncon = table.ncand
+    return EfcLayout(
+        friction_dofs=friction_dofs,
+        limit_joints=limit_joints,
+        ncon=ncon,
+        nefc=len(friction_dofs) + len(limit_joints) + 6 * ncon,
+        con_body1=b1,
+        con_body2=b2,
+        con_condim=table.cand_meta("condim"),
+        con_friction=table.cand_meta("friction"),
+        con_solref=table.cand_meta("solref"),
+        con_solimp=table.cand_meta("solimp"),
+        con_margin=table.cand_meta("margin"),
+        con_includemargin=table.cand_meta("includemargin"),
+        con_diagapprox=body_invw[b1, 0] + body_invw[b2, 0],
+    )
+
+
+@dataclasses.dataclass
+class Efc:
+    """Assembled constraint system (single env; leaves are jax arrays)."""
+
+    J: jax.Array            # (nefc, nv)
+    aref: jax.Array         # (nefc,)
+    R: jax.Array            # (nefc,)
+    D: jax.Array            # (nefc,)
+    floss: jax.Array        # (nefc,) frictionloss per row (0 for others)
+    active: jax.Array       # (nefc,) bool
+    # contact block views (ncon, ...)
+    con_active: jax.Array   # (ncon,)
+    con_dist: jax.Array     # (ncon,)
+    con_pos: jax.Array      # (ncon, 3)
+    con_frame: jax.Array    # (ncon, 3, 3)
+    con_mu_tilde: jax.Array  # (ncon,) = mu1 / sqrt(impratio)
+    con_scale: jax.Array    # (ncon, 6) z -> zeta row scaling
+    con_fscale: jax.Array   # (ncon, 6) scaled force -> force
+    con_dim_mask: jax.Array  # (ncon, 6) rows enabled by condim
+    nf: int
+    nl: int
+
+
+jax.tree_util.register_dataclass(
+    Efc,
+    data_fields=[
+        "J", "aref", "R", "D", "floss", "active", "con_active", "con_dist",
+        "con_pos", "con_frame", "con_mu_tilde", "con_scale", "con_fscale",
+        "con_dim_mask",
+    ],
+    meta_fields=["nf", "nl"],
+)
+
+
+def _impedance(solimp, x):
+    dmin, dmax, width, mid, power = (
+        solimp[..., 0], solimp[..., 1], solimp[..., 2], solimp[..., 3],
+        solimp[..., 4],
+    )
+    dmin = jnp.clip(dmin, _MINIMP, _MAXIMP)
+    dmax = jnp.clip(dmax, _MINIMP, _MAXIMP)
+    x = jnp.clip(jnp.abs(x) / jnp.maximum(width, _MINVAL), 0.0, 1.0)
+    # y = a*x^p (x<=mid), 1 - b*(1-x)^p (x>mid)
+    a = 1.0 / jnp.maximum(mid, _MINVAL) ** (power - 1)
+    b = 1.0 / jnp.maximum(1 - mid, _MINVAL) ** (power - 1)
+    y = jnp.where(x <= mid, a * x**power, 1.0 - b * (1.0 - x) ** power)
+    d = dmin + y * (dmax - dmin)
+    return jnp.clip(d, _MINIMP, _MAXIMP)
+
+
+def _kb(solref, solimp):
+    dmax = jnp.clip(solimp[..., 1], _MINIMP, _MAXIMP)
+    tc, dr = solref[..., 0], solref[..., 1]
+    K = 1.0 / jnp.maximum(dmax * dmax * tc * tc * dr * dr, _MINVAL)
+    B = 2.0 / jnp.maximum(dmax * tc, _MINVAL)
+    return K, B
+
+
+def assemble(
+    m: PhysicsModel,
+    layout: EfcLayout,
+    table: CollisionTable,
+    kin: Kin,
+    qpos: jax.Array,
+    qvel: jax.Array,
+) -> Efc:
+    dtype = qvel.dtype
+    impratio = float(m.opt.impratio)
+    anc = jnp.asarray(ancestor_dof_mask(m), dtype=dtype)
+    dof_invw, _ = invweights(m)
+
+    Js, arefs, Rs, flosses, actives = [], [], [], [], []
+
+    # ---- dof friction rows --------------------------------------------------
+    nf = len(layout.friction_dofs)
+    if nf:
+        fd = layout.friction_dofs
+        Jf = jnp.zeros((nf, m.nv), dtype).at[jnp.arange(nf), fd].set(1.0)
+        solref = jnp.asarray(m.dof_solref[fd], dtype)
+        solimp = jnp.asarray(m.dof_solimp[fd], dtype)
+        d = _impedance(solimp, jnp.zeros(nf, dtype))
+        K, B = _kb(solref, solimp)
+        aref = -B * qvel[fd]
+        R = jnp.maximum((1 - d) / d * jnp.asarray(dof_invw[fd], dtype), _MINVAL)
+        Js.append(Jf)
+        arefs.append(aref)
+        Rs.append(R)
+        flosses.append(jnp.asarray(m.dof_frictionloss[fd], dtype))
+        actives.append(jnp.ones(nf, dtype=bool))
+
+    # ---- joint limit rows (one per limited hinge; nearest side) -------------
+    nl = len(layout.limit_joints)
+    if nl:
+        lj = layout.limit_joints
+        qadr = m.jnt_qposadr[lj]
+        dadr = m.jnt_dofadr[lj]
+        lo = jnp.asarray(m.jnt_range[lj, 0], dtype)
+        hi = jnp.asarray(m.jnt_range[lj, 1], dtype)
+        q = qpos[qadr]
+        dist_lo = q - lo
+        dist_hi = hi - q
+        lower = dist_lo < dist_hi
+        dist = jnp.where(lower, dist_lo, dist_hi)
+        sign = jnp.where(lower, 1.0, -1.0).astype(dtype)
+        Jl = jnp.zeros((nl, m.nv), dtype).at[jnp.arange(nl), dadr].set(sign)
+        margin = jnp.asarray(m.jnt_margin[lj], dtype)
+        solref = jnp.asarray(m.jnt_solref[lj], dtype)
+        solimp = jnp.asarray(m.jnt_solimp[lj], dtype)
+        d = _impedance(solimp, dist - margin)
+        K, B = _kb(solref, solimp)
+        aref = -B * (Jl @ qvel) - K * d * (dist - margin)
+        R = jnp.maximum((1 - d) / d * jnp.asarray(dof_invw[dadr], dtype), _MINVAL)
+        Js.append(Jl)
+        arefs.append(aref)
+        Rs.append(R)
+        flosses.append(jnp.zeros(nl, dtype))
+        actives.append(dist < margin)
+
+    # ---- contact rows (ncon x 6, fixed) -------------------------------------
+    ncon = layout.ncon
+    dist, pos, frame = narrowphase(m, table, kin)
+    includemargin = jnp.asarray(layout.con_includemargin, dtype)
+    margin = jnp.asarray(layout.con_margin, dtype)
+    solref = jnp.asarray(layout.con_solref, dtype)
+    solimp = jnp.asarray(layout.con_solimp, dtype)
+    mu = jnp.asarray(layout.con_friction, dtype)          # (ncon, 5)
+    con_active = dist < includemargin
+
+    # Jacobian: rows (normal, t1, t2) translational; (normal, t1, t2) rotational
+    # J_row = dir . (vel of point/angvel of body2 - body1)
+    arm = pos - kin.ref                                     # (ncon, 3)
+    # dof point jacobian (ncon, nv, 3): v_d(p) = cdof_v + cdof_w x arm
+    jt = kin.cdof[None, :, 3:] + jnp.cross(
+        kin.cdof[None, :, :3], arm[:, None, :]
+    )
+    jr = jnp.broadcast_to(kin.cdof[None, :, :3], jt.shape)
+    sgn = anc[layout.con_body2] - anc[layout.con_body1]     # (ncon, nv)
+    jt = jt * sgn[..., None]
+    jr = jr * sgn[..., None]
+    # (ncon, 6, nv): frame rows dotted with point/rotation jacobians
+    Jc = jnp.concatenate(
+        [
+            jnp.einsum("cdk,cik->cid", jt, frame),
+            jnp.einsum("cdk,cik->cid", jr, frame),
+        ],
+        axis=1,
+    )
+
+    d_imp = _impedance(solimp, dist - margin)
+    K, B = _kb(solref, solimp)
+    R0 = jnp.maximum(
+        (1 - d_imp) / d_imp * jnp.asarray(layout.con_diagapprox, dtype), _MINVAL
+    )
+    mu1 = mu[:, 0]
+    # friction row regularization: R_n / impratio * (mu1/mu_i)^2
+    Rf = R0[:, None] / impratio * (mu1[:, None] / mu) ** 2
+    Rcon = jnp.concatenate([R0[:, None], Rf], axis=1)       # (ncon, 6)
+
+    vel = jnp.einsum("cid,d->ci", Jc, qvel)                 # (ncon, 6)
+    pos6 = jnp.concatenate(
+        [(dist - margin)[:, None], jnp.zeros((ncon, 5), dtype)], axis=1
+    )
+    aref_con = -B[:, None] * vel - (K * d_imp)[:, None] * pos6
+
+    dims = jnp.asarray(layout.con_condim)
+    dim_mask = jnp.arange(6)[None, :] < dims[:, None]       # (ncon, 6)
+    mu_tilde = mu1 / np.sqrt(impratio)
+    scale = jnp.concatenate(
+        [jnp.ones((ncon, 1), dtype), (mu / mu1[:, None]) * np.sqrt(impratio)],
+        axis=1,
+    )
+    fscale = jnp.concatenate(
+        [jnp.ones((ncon, 1), dtype), (mu / mu1[:, None]) * np.sqrt(impratio)],
+        axis=1,
+    )
+
+    Js.append(Jc.reshape(ncon * 6, m.nv))
+    arefs.append(aref_con.reshape(-1))
+    Rs.append(Rcon.reshape(-1))
+    flosses.append(jnp.zeros(ncon * 6, dtype))
+    actives.append((con_active[:, None] & dim_mask).reshape(-1))
+
+    R_all = jnp.concatenate(Rs)
+    return Efc(
+        J=jnp.concatenate(Js),
+        aref=jnp.concatenate(arefs),
+        R=R_all,
+        D=1.0 / R_all,
+        floss=jnp.concatenate(flosses),
+        active=jnp.concatenate(actives),
+        con_active=con_active,
+        con_dist=dist,
+        con_pos=pos,
+        con_frame=frame,
+        con_mu_tilde=mu_tilde,
+        con_scale=scale,
+        con_fscale=fscale,
+        con_dim_mask=dim_mask,
+        nf=nf,
+        nl=nl,
+    )

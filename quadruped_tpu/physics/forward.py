@@ -1,0 +1,199 @@
+"""Full physics step: forward dynamics + semi-implicit Euler integration.
+
+Pipeline per substep (all fused under jit, vmapped over envs):
+    fk -> smooth dynamics (CRBA/RNEA/actuation) -> narrowphase ->
+    constraint assembly -> Newton solve -> implicit-damping Euler.
+
+Equivalent of MuJoCo's mj_step (reference hot loop: 10 substeps per
+control step, go1_mujoco_env.py:481 via frame_skip=10).
+
+Integration semantics (oracle-verified): qacc is the explicit solver
+output; velocities integrate with implicit joint damping,
+    v' = v + h (M + h diag(damping))^{-1} (M qacc),
+free-joint quaternions integrate exactly by the body-frame angular
+velocity; hinge/translation coordinates are explicit Euler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mjcf.model import JNT_FREE, JNT_HINGE, PhysicsModel
+from .collision import CollisionTable, build_table
+from .constraint import EfcLayout, assemble, build_layout
+from .kinematics import Kin, fk
+from .math import quat_integrate
+from .smooth import smooth_dynamics
+from .solver import solve
+
+
+@dataclasses.dataclass(eq=False)
+class Pipeline:
+    """Static compiled pipeline: model + collision table + efc layout.
+
+    Build once per (model, collision mode); hashable by identity so it can
+    be a static jit argument.
+    """
+
+    m: PhysicsModel
+    table: CollisionTable
+    layout: EfcLayout
+
+    @staticmethod
+    def build(m: PhysicsModel, mode: str = "plane") -> "Pipeline":
+        table = build_table(m, mode)
+        return Pipeline(m=m, table=table, layout=build_layout(m, table))
+
+
+@dataclasses.dataclass
+class StepData:
+    """Per-substep outputs consumed by the env layer."""
+
+    kin: Kin
+    qacc: jax.Array            # (nv,)
+    qfrc_actuator: jax.Array   # (nv,)
+    cfrc_ext: jax.Array        # (nbody, 6) (torque, force) at body CoM, world
+    con_force: jax.Array       # (ncon, 6) contact-frame forces
+    con_dist: jax.Array        # (ncon,)
+    con_active: jax.Array      # (ncon,) bool
+
+
+jax.tree_util.register_dataclass(
+    StepData,
+    data_fields=[
+        "kin", "qacc", "qfrc_actuator", "cfrc_ext", "con_force", "con_dist",
+        "con_active",
+    ],
+    meta_fields=[],
+)
+
+
+def forward(
+    pl: Pipeline, params: dict[str, Any], qpos: jax.Array, qvel: jax.Array,
+    ctrl: jax.Array,
+):
+    """Forward dynamics at (qpos, qvel, ctrl).  Returns (StepData, M)."""
+    m = pl.m
+    kin = fk(m, qpos, qvel)
+    M, L, qfrc_smooth, qacc_smooth, qfrc_act = smooth_dynamics(
+        m, params, kin, qpos, qvel, ctrl
+    )
+    efc = assemble(m, pl.layout, pl.table, kin, qpos, qvel)
+    qacc, qfrc_constraint, con_force = solve(m, M, qacc_smooth, efc)
+    cfrc = cfrc_ext(pl, params, kin, efc, con_force)
+    return (
+        StepData(
+            kin=kin,
+            qacc=qacc,
+            qfrc_actuator=qfrc_act,
+            cfrc_ext=cfrc,
+            con_force=con_force,
+            con_dist=efc.con_dist,
+            con_active=efc.con_active,
+        ),
+        M,
+    )
+
+
+def cfrc_ext(pl: Pipeline, params, kin: Kin, efc, con_force: jax.Array) -> jax.Array:
+    """Per-body external contact force accumulation, MuJoCo cfrc_ext layout:
+    6-vector (torque, force) in world axes, torque about the subtree CoM of
+    the body's kinematic root (oracle-verified against mj_rnePostConstraint).
+
+    The reference reads norms of these rows for the feet-contact, collision
+    and unwanted-contact reward terms (go1_mujoco_env.py:611-613, 688-693,
+    771-781); tests pin this against mjData.cfrc_ext.
+    """
+    m = pl.m
+    dtype = con_force.dtype
+    active = efc.con_active.astype(dtype)[:, None]
+    # contact-frame rows are (n, t1, t2): world force and torque on geom2
+    force_w = jnp.einsum("ci,cik->ck", con_force[:, :3], efc.con_frame) * active
+    torque_w = jnp.einsum("ci,cik->ck", con_force[:, 3:], efc.con_frame) * active
+
+    # per-root subtree CoM (mass-weighted over each root's tree)
+    mass = jnp.asarray(params["body_mass"], dtype)
+    root_of = np.asarray(m.body_rootid)
+    nroot_com = jnp.zeros((m.nbody, 3), dtype)
+    wsum = jnp.zeros(m.nbody, dtype)
+    nroot_com = nroot_com.at[root_of].add(mass[:, None] * kin.xipos)
+    wsum = wsum.at[root_of].add(mass)
+    root_com = nroot_com / jnp.maximum(wsum, 1e-12)[:, None]
+    # world body: subtree_com[0] is the whole-system CoM
+    total_com = jnp.sum(mass[:, None] * kin.xipos, axis=0) / jnp.maximum(
+        jnp.sum(mass), 1e-12
+    )
+    root_com = root_com.at[0].set(total_com)
+    ref_b = root_com[root_of]                      # (nbody, 3)
+
+    cfrc = jnp.zeros((m.nbody, 6), dtype)
+    b1 = jnp.asarray(pl.layout.con_body1)
+    b2 = jnp.asarray(pl.layout.con_body2)
+    arm2 = efc.con_pos - ref_b[b2]
+    arm1 = efc.con_pos - ref_b[b1]
+    t2 = torque_w + jnp.cross(arm2, force_w)
+    t1 = torque_w + jnp.cross(arm1, force_w)
+    cfrc = cfrc.at[b2, :3].add(t2)
+    cfrc = cfrc.at[b2, 3:].add(force_w)
+    cfrc = cfrc.at[b1, :3].add(-t1)
+    cfrc = cfrc.at[b1, 3:].add(-force_w)
+    # mujoco does not accumulate external forces onto the world body
+    return cfrc.at[0].set(0.0)
+
+
+def integrate(
+    pl: Pipeline, params, qpos: jax.Array, qvel: jax.Array, qacc: jax.Array,
+    M: jax.Array,
+):
+    """Semi-implicit Euler with implicit joint damping (MuJoCo mj_Euler)."""
+    m = pl.m
+    dtype = qpos.dtype
+    h = jnp.asarray(m.opt.timestep, dtype)
+    B = jnp.asarray(params["dof_damping"], dtype)
+    Mh = M + h * jnp.diag(B)
+    L = jnp.linalg.cholesky(Mh)
+    qvel_new = qvel + h * jax.scipy.linalg.cho_solve((L, True), M @ qacc)
+
+    qpos_new = qpos
+    for j in range(m.njnt):
+        qadr = int(m.jnt_qposadr[j])
+        dadr = int(m.jnt_dofadr[j])
+        if m.jnt_type[j] == JNT_FREE:
+            qpos_new = qpos_new.at[qadr : qadr + 3].add(
+                h * qvel_new[dadr : dadr + 3]
+            )
+            quat = quat_integrate(
+                qpos_new[qadr + 3 : qadr + 7], qvel_new[dadr + 3 : dadr + 6], h
+            )
+            qpos_new = qpos_new.at[qadr + 3 : qadr + 7].set(quat)
+        else:  # hinge
+            qpos_new = qpos_new.at[qadr].add(h * qvel_new[dadr])
+    return qpos_new, qvel_new
+
+
+def step(
+    pl: Pipeline, params, qpos: jax.Array, qvel: jax.Array, ctrl: jax.Array
+):
+    """One physics substep.  Returns (qpos', qvel', StepData)."""
+    data, M = forward(pl, params, qpos, qvel, ctrl)
+    qpos_new, qvel_new = integrate(pl, params, qpos, qvel, data.qacc, M)
+    return qpos_new, qvel_new, data
+
+
+def step_n(pl: Pipeline, params, qpos, qvel, ctrl, n: int):
+    """n substeps with constant ctrl (reference frame_skip=10,
+    go1_mujoco_env.py:49).  Returns (qpos', qvel', last StepData)."""
+
+    def body(carry, _):
+        qp, qv = carry
+        qp, qv, data = step(pl, params, qp, qv, ctrl)
+        return (qp, qv), data
+
+    (qpos, qvel), datas = jax.lax.scan(body, (qpos, qvel), None, length=n)
+    last = jax.tree.map(lambda x: x[-1], datas)
+    return qpos, qvel, last

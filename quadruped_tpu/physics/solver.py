@@ -1,0 +1,175 @@
+"""Primal Newton solver for MuJoCo-style soft constraints.
+
+Minimizes over qacc:
+    Phi(a) = 1/2 ||a - a_smooth||^2_M  +  sum_i s_i(J a - aref)
+where s_i is the convex constraint penalty
+    s_i(z) = max_{f in K} [ -f z - 1/2 f R f ]
+evaluated in closed form per constraint class:
+  * dof friction rows: Huber (force clamped to +-frictionloss)
+  * joint limits / frictionless contacts: one-sided quadratic
+  * elliptic friction cones: analytic projection in scaled coordinates
+    where the cone is circular with mu_tilde = mu1/sqrt(impratio)
+
+Each Newton step solves an 18x18 SPD system (batched Cholesky — ideal for
+TPU: the batch over envs is the parallel axis, no scatter/gather, no
+dynamic shapes), followed by a parallel-candidate line search.
+
+This replaces MuJoCo's Newton solver (reference dependency C13; option
+cone="elliptic" impratio="100", go1_torque.xml:4).  Accuracy is pinned by
+tests/test_constraint.py against mjData.qacc/efc_force.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..mjcf.model import PhysicsModel
+from .constraint import Efc
+
+_LS_ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.01, 0.003)
+
+
+def _penalty(efc: Efc, z: jax.Array, want_hess: bool = False):
+    """Per-row force f(z), total penalty S(z), diagonal weights w(z) for the
+    simple rows, and (if want_hess) exact 6x6 cone Hessian blocks
+    B (ncon,6,6) such that  H = M + J^T diag(w) J + sum_c Jc^T Bc Jc."""
+    dtype = z.dtype
+    nf, nl = efc.nf, efc.nl
+    ncon = efc.con_dist.shape[0]
+    f = jnp.zeros_like(z)
+    w = jnp.zeros_like(z)
+    B = None
+    S = jnp.zeros((), dtype)
+
+    # ---- dof friction rows (always active) ----------------------------------
+    if nf:
+        zf = z[:nf]
+        D = efc.D[:nf]
+        R = efc.R[:nf]
+        fl = efc.floss[:nf]
+        f_unc = -D * zf
+        quad = jnp.abs(f_unc) <= fl
+        ff = jnp.clip(f_unc, -fl, fl)
+        sf = jnp.where(quad, 0.5 * D * zf * zf, fl * jnp.abs(zf) - 0.5 * fl * fl * R)
+        f = f.at[:nf].set(ff)
+        w = w.at[:nf].set(jnp.where(quad, D, 0.0))
+        S = S + jnp.sum(sf)
+
+    # ---- joint limit rows ----------------------------------------------------
+    if nl:
+        sl = slice(nf, nf + nl)
+        zl = z[sl]
+        D = efc.D[sl]
+        act = efc.active[sl] & (zl < 0)
+        fl_ = jnp.where(act, -D * zl, 0.0)
+        f = f.at[sl].set(fl_)
+        w = w.at[sl].set(jnp.where(act, D, 0.0))
+        S = S + jnp.sum(jnp.where(act, 0.5 * D * zl * zl, 0.0))
+
+    # ---- elliptic contact blocks ----------------------------------------------
+    if ncon:
+        zc = z[nf + nl :].reshape(ncon, 6)
+        Rn = efc.R[nf + nl :].reshape(ncon, 6)[:, 0]
+        mask = efc.con_dim_mask.astype(dtype) * efc.con_active[:, None].astype(dtype)
+        zeta = zc * efc.con_scale * mask
+        u = -zeta / Rn[:, None]
+        u0 = u[:, 0]
+        ut = u[:, 1:]
+        t = jnp.sqrt(jnp.sum(ut * ut, axis=1) + 1e-30)
+        mu = efc.con_mu_tilde
+        bottom = t <= mu * u0
+        top = mu * t <= -u0
+        middle = ~(bottom | top)
+
+        alpha = (u0 + mu * t) / (1.0 + mu * mu)
+        phi0 = jnp.where(bottom, u0, jnp.where(top, 0.0, alpha))
+        tdir = ut / t[:, None]
+        phit = jnp.where(
+            bottom[:, None], ut, jnp.where(top[:, None], 0.0, (mu * alpha)[:, None] * tdir)
+        )
+        phi = jnp.concatenate([phi0[:, None], phit], axis=1)
+        # penalty 1/2 Rn (|u|^2 - |u - phi|^2)
+        du = u - phi
+        s_con = 0.5 * Rn * (jnp.sum(u * u, axis=1) - jnp.sum(du * du, axis=1))
+        S = S + jnp.sum(s_con * efc.con_active.astype(dtype))
+
+        f_con = phi * efc.con_fscale * mask
+        f = f.at[nf + nl :].set(f_con.reshape(-1))
+
+        if want_hess:
+            # exact Hessian of sigma wrt z per contact: B = S dP/du S / Rn
+            # bottom: dP/du = I ; top: 0 ; middle: closed-form projection
+            # Jacobian of the circular cone (PSD, symmetric)
+            eye6 = jnp.eye(6, dtype=dtype)
+            nhat = jnp.concatenate([jnp.zeros((ncon, 1), dtype), tdir], axis=1)
+            e0 = jnp.zeros((ncon, 6), dtype).at[:, 0].set(1.0)
+            c1 = (e0 + mu[:, None] * nhat) / (1.0 + mu * mu)[:, None]
+            # middle dP = c1 (x) (e0 + mu nhat)^T + (mu alpha / t) * T_perp
+            outer = c1[:, :, None] * (e0 + mu[:, None] * nhat)[:, None, :]
+            tperp = (
+                eye6[None] - e0[:, :, None] * e0[:, None, :]
+                - nhat[:, :, None] * nhat[:, None, :]
+            )
+            dP_mid = outer + (mu * alpha / t)[:, None, None] * tperp
+            dP = jnp.where(
+                bottom[:, None, None],
+                eye6[None],
+                jnp.where(top[:, None, None], 0.0, dP_mid),
+            )
+            Sm = efc.con_scale * mask
+            B = (Sm[:, :, None] * dP * Sm[:, None, :]) / Rn[:, None, None]
+
+    return f, S, w, B
+
+
+def solve(
+    m: PhysicsModel,
+    M: jax.Array,
+    qacc_smooth: jax.Array,
+    efc: Efc,
+    warmstart: jax.Array | None = None,
+    iterations: int | None = None,
+):
+    """Newton iterations; returns (qacc, qfrc_constraint, contact_force)."""
+    dtype = qacc_smooth.dtype
+    nv = qacc_smooth.shape[0]
+    iters = iterations if iterations is not None else m.opt.iterations
+    a0 = qacc_smooth if warmstart is None else warmstart
+    eye = jnp.eye(nv, dtype=dtype) * 1e-10
+
+    ncon = efc.con_dist.shape[0]
+    nfl = efc.nf + efc.nl
+    Jc = efc.J[nfl:].reshape(ncon, 6, nv) if ncon else None
+
+    def body(_, a):
+        z = efc.J @ a - efc.aref
+        f, S, w, B = _penalty(efc, z, want_hess=True)
+        grad = M @ (a - qacc_smooth) - efc.J.T @ f
+        H = M + (efc.J.T * w[None, :]) @ efc.J + eye
+        if ncon:
+            H = H + jnp.einsum("cia,cij,cjb->ab", Jc, B, Jc)
+        L = jnp.linalg.cholesky(H)
+        delta = -jax.scipy.linalg.cho_solve((L, True), grad)
+
+        Jd = efc.J @ delta
+        Md = M @ delta
+        qa = 0.5 * jnp.dot(delta, Md)
+        qb = jnp.dot(delta, M @ (a - qacc_smooth))
+
+        def phi(alpha):
+            _, S_a, _, _ = _penalty(efc, z + alpha * Jd)
+            return alpha * qb + alpha * alpha * qa + S_a
+
+        phis = jnp.stack([phi(al) for al in _LS_ALPHAS] + [S])
+        alphas = jnp.asarray(_LS_ALPHAS + (0.0,), dtype)
+        best = jnp.argmin(phis)
+        return a + alphas[best] * delta
+
+    a = jax.lax.fori_loop(0, iters, body, a0)
+    z = efc.J @ a - efc.aref
+    f, _, _, _ = _penalty(efc, z)
+    qfrc_constraint = efc.J.T @ f
+    ncon = efc.con_dist.shape[0]
+    con_force = f[efc.nf + efc.nl :].reshape(ncon, 6)
+    return a, qfrc_constraint, con_force
