@@ -65,6 +65,7 @@ class EnvState:
     front_feet_touched: jax.Array   # bool
     last_feet_forces: jax.Array     # (4,) cfrc norms from previous step
     rand_power: jax.Array           # curriculum reset-noise scale (C8)
+    qacc_warm: jax.Array            # (nv,) solver warmstart (qacc_warmstart)
 
 
 class Go1Env:
@@ -216,6 +217,7 @@ class Go1Env:
             front_feet_touched=jnp.zeros((), bool),
             last_feet_forces=jnp.zeros(4, dtype),
             rand_power=rp,
+            qacc_warm=jnp.zeros(self.m.nv, dtype),
         )
 
     def _randomize(self, params, rng):
@@ -320,7 +322,7 @@ class Go1Env:
 
         qpos, qvel, data = step_n(
             self.pipeline, state.params, state.qpos, state.qvel,
-            action.astype(dtype), cfg.frame_skip,
+            action.astype(dtype), cfg.frame_skip, warmstart=state.qacc_warm,
         )
 
         healthy, reason = self._health(qpos, qvel)
@@ -365,6 +367,7 @@ class Go1Env:
             last_health_dev=new_dev,
             front_feet_touched=front_touched,
             last_feet_forces=feet_forces,
+            qacc_warm=data.qacc,
         )
         # NOTE: obs uses the PREVIOUS action (reference quirk, see module
         # docstring) — so it is computed with state.last_action, not action
@@ -495,8 +498,11 @@ class Go1Env:
                     )
                 )
             ) * bw.unwanted_contact
+            self_mask = jnp.asarray(self.self_collision_mask)
+            if data.con_sel is not None:
+                self_mask = self_mask[data.con_sel]
             selfc = jnp.sum(
-                data.con_active & jnp.asarray(self.self_collision_mask)
+                data.con_active & self_mask
             ).astype(dtype) * bw.self_collision
 
             rewards = rewards + upright

@@ -37,7 +37,7 @@ class Option:
     )
     impratio: float = 1.0
     cone: int = CONE_PYRAMIDAL
-    iterations: int = 20          # Newton iterations
+    iterations: int = 10          # Newton iterations (warmstarted)
     ls_iterations: int = 8        # linesearch iterations
     tolerance: float = 1e-8
 

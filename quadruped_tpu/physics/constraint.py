@@ -105,8 +105,12 @@ class EfcLayout:
     con_includemargin: np.ndarray  # (ncon,)
     con_diagapprox: np.ndarray     # (ncon,)  invweight sum for normal rows
 
+    max_contacts: int | None = None  # top-K solver slots (None = all)
 
-def build_layout(m: PhysicsModel, table: CollisionTable) -> EfcLayout:
+
+def build_layout(
+    m: PhysicsModel, table: CollisionTable, max_contacts: int | None = None
+) -> EfcLayout:
     dof_invw, body_invw = invweights(m)
     friction_dofs = np.where(m.dof_frictionloss > 0)[0].astype(np.int32)
     limit_joints = np.where(m.jnt_limited & (m.jnt_type == JNT_HINGE))[0].astype(
@@ -129,6 +133,7 @@ def build_layout(m: PhysicsModel, table: CollisionTable) -> EfcLayout:
         con_margin=table.cand_meta("margin"),
         con_includemargin=table.cand_meta("includemargin"),
         con_diagapprox=body_invw[b1, 0] + body_invw[b2, 0],
+        max_contacts=max_contacts,
     )
 
 
@@ -151,6 +156,7 @@ class Efc:
     con_scale: jax.Array    # (ncon, 6) z -> zeta row scaling
     con_fscale: jax.Array   # (ncon, 6) scaled force -> force
     con_dim_mask: jax.Array  # (ncon, 6) rows enabled by condim
+    con_sel: jax.Array | None  # (ncon,) candidate index of each slot
     nf: int
     nl: int
 
@@ -160,7 +166,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "J", "aref", "R", "D", "floss", "active", "con_active", "con_dist",
         "con_pos", "con_frame", "con_mu_tilde", "con_scale", "con_fscale",
-        "con_dim_mask",
+        "con_dim_mask", "con_sel",
     ],
     meta_fields=["nf", "nl"],
 )
@@ -251,13 +257,33 @@ def assemble(
         actives.append(dist < margin)
 
     # ---- contact rows (ncon x 6, fixed) -------------------------------------
-    ncon = layout.ncon
-    dist, pos, frame = narrowphase(m, table, kin)
-    includemargin = jnp.asarray(layout.con_includemargin, dtype)
-    margin = jnp.asarray(layout.con_margin, dtype)
-    solref = jnp.asarray(layout.con_solref, dtype)
-    solimp = jnp.asarray(layout.con_solimp, dtype)
-    mu = jnp.asarray(layout.con_friction, dtype)          # (ncon, 5)
+    # narrowphase over ALL candidates (cheap VPU math), then top-K selection
+    # of the most-penetrating candidates: only K contacts enter the solver,
+    # cutting the dominant J^T W J cost ~4-10x with static shapes intact.
+    dist_all, pos_all, frame_all = narrowphase(m, table, kin)
+    K = layout.max_contacts
+    if K is not None and K < layout.ncon:
+        incm_all = jnp.asarray(layout.con_includemargin, dtype)
+        sel = jax.lax.top_k(-(dist_all - incm_all), K)[1]
+        dist, pos, frame = dist_all[sel], pos_all[sel], frame_all[sel]
+        gather = lambda a: jnp.asarray(a, dtype)[sel]
+        igather = lambda a: jnp.asarray(a)[sel]
+    else:
+        K = layout.ncon
+        sel = None
+        dist, pos, frame = dist_all, pos_all, frame_all
+        gather = lambda a: jnp.asarray(a, dtype)
+        igather = lambda a: jnp.asarray(a)
+    ncon = K
+    includemargin = gather(layout.con_includemargin)
+    margin = gather(layout.con_margin)
+    solref = gather(layout.con_solref)
+    solimp = gather(layout.con_solimp)
+    mu = gather(layout.con_friction)                      # (ncon, 5)
+    diagapprox = gather(layout.con_diagapprox)
+    body1 = igather(layout.con_body1)
+    body2 = igather(layout.con_body2)
+    condim = igather(layout.con_condim)
     con_active = dist < includemargin
 
     # Jacobian: rows (normal, t1, t2) translational; (normal, t1, t2) rotational
@@ -268,7 +294,7 @@ def assemble(
         kin.cdof[None, :, :3], arm[:, None, :]
     )
     jr = jnp.broadcast_to(kin.cdof[None, :, :3], jt.shape)
-    sgn = anc[layout.con_body2] - anc[layout.con_body1]     # (ncon, nv)
+    sgn = anc[body2] - anc[body1]                           # (ncon, nv)
     jt = jt * sgn[..., None]
     jr = jr * sgn[..., None]
     # (ncon, 6, nv): frame rows dotted with point/rotation jacobians
@@ -281,10 +307,8 @@ def assemble(
     )
 
     d_imp = _impedance(solimp, dist - margin)
-    K, B = _kb(solref, solimp)
-    R0 = jnp.maximum(
-        (1 - d_imp) / d_imp * jnp.asarray(layout.con_diagapprox, dtype), _MINVAL
-    )
+    Kstiff, B = _kb(solref, solimp)
+    R0 = jnp.maximum((1 - d_imp) / d_imp * diagapprox, _MINVAL)
     mu1 = mu[:, 0]
     # friction row regularization: R_n / impratio * (mu1/mu_i)^2
     Rf = R0[:, None] / impratio * (mu1[:, None] / mu) ** 2
@@ -294,10 +318,9 @@ def assemble(
     pos6 = jnp.concatenate(
         [(dist - margin)[:, None], jnp.zeros((ncon, 5), dtype)], axis=1
     )
-    aref_con = -B[:, None] * vel - (K * d_imp)[:, None] * pos6
+    aref_con = -B[:, None] * vel - (Kstiff * d_imp)[:, None] * pos6
 
-    dims = jnp.asarray(layout.con_condim)
-    dim_mask = jnp.arange(6)[None, :] < dims[:, None]       # (ncon, 6)
+    dim_mask = jnp.arange(6)[None, :] < condim[:, None]     # (ncon, 6)
     mu_tilde = mu1 / np.sqrt(impratio)
     scale = jnp.concatenate(
         [jnp.ones((ncon, 1), dtype), (mu / mu1[:, None]) * np.sqrt(impratio)],
@@ -330,6 +353,7 @@ def assemble(
         con_scale=scale,
         con_fscale=fscale,
         con_dim_mask=dim_mask,
+        con_sel=sel,
         nf=nf,
         nl=nl,
     )

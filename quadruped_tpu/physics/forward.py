@@ -45,9 +45,15 @@ class Pipeline:
     layout: EfcLayout
 
     @staticmethod
-    def build(m: PhysicsModel, mode: str = "plane") -> "Pipeline":
+    def build(
+        m: PhysicsModel, mode: str = "plane", max_contacts: int | None = 32,
+    ) -> "Pipeline":
         table = build_table(m, mode)
-        return Pipeline(m=m, table=table, layout=build_layout(m, table))
+        if max_contacts is not None and max_contacts >= table.ncand:
+            max_contacts = None
+        return Pipeline(
+            m=m, table=table, layout=build_layout(m, table, max_contacts)
+        )
 
 
 @dataclasses.dataclass
@@ -61,13 +67,14 @@ class StepData:
     con_force: jax.Array       # (ncon, 6) contact-frame forces
     con_dist: jax.Array        # (ncon,)
     con_active: jax.Array      # (ncon,) bool
+    con_sel: jax.Array | None  # (ncon,) candidate index per solver slot
 
 
 jax.tree_util.register_dataclass(
     StepData,
     data_fields=[
         "kin", "qacc", "qfrc_actuator", "cfrc_ext", "con_force", "con_dist",
-        "con_active",
+        "con_active", "con_sel",
     ],
     meta_fields=[],
 )
@@ -75,17 +82,26 @@ jax.tree_util.register_dataclass(
 
 def forward(
     pl: Pipeline, params: dict[str, Any], qpos: jax.Array, qvel: jax.Array,
-    ctrl: jax.Array,
+    ctrl: jax.Array, warmstart: jax.Array | None = None,
 ):
-    """Forward dynamics at (qpos, qvel, ctrl).  Returns (StepData, M)."""
-    m = pl.m
-    kin = fk(m, qpos, qvel)
-    M, L, qfrc_smooth, qacc_smooth, qfrc_act = smooth_dynamics(
-        m, params, kin, qpos, qvel, ctrl
-    )
-    efc = assemble(m, pl.layout, pl.table, kin, qpos, qvel)
-    qacc, qfrc_constraint, con_force = solve(m, M, qacc_smooth, efc)
-    cfrc = cfrc_ext(pl, params, kin, efc, con_force)
+    """Forward dynamics at (qpos, qvel, ctrl).  Returns (StepData, M).
+
+    The whole pipeline runs under matmul precision 'highest': TPU f32
+    matmuls default to bf16 passes, which destroys the PSD-ness of the
+    Newton Hessian (NaN Cholesky) and physics accuracy.  These matmuls are
+    tiny (18x18); MXU throughput is irrelevant here.
+    """
+    with jax.default_matmul_precision("highest"):
+        m = pl.m
+        kin = fk(m, qpos, qvel)
+        M, L, qfrc_smooth, qacc_smooth, qfrc_act = smooth_dynamics(
+            m, params, kin, qpos, qvel, ctrl
+        )
+        efc = assemble(m, pl.layout, pl.table, kin, qpos, qvel)
+        qacc, qfrc_constraint, con_force = solve(
+            m, M, qacc_smooth, efc, warmstart=warmstart
+        )
+        cfrc = cfrc_ext(pl, params, kin, efc, con_force)
     return (
         StepData(
             kin=kin,
@@ -95,6 +111,7 @@ def forward(
             con_force=con_force,
             con_dist=efc.con_dist,
             con_active=efc.con_active,
+            con_sel=efc.con_sel,
         ),
         M,
     )
@@ -134,6 +151,9 @@ def cfrc_ext(pl: Pipeline, params, kin: Kin, efc, con_force: jax.Array) -> jax.A
     cfrc = jnp.zeros((m.nbody, 6), dtype)
     b1 = jnp.asarray(pl.layout.con_body1)
     b2 = jnp.asarray(pl.layout.con_body2)
+    if efc.con_sel is not None:
+        b1 = b1[efc.con_sel]
+        b2 = b2[efc.con_sel]
     arm2 = efc.con_pos - ref_b[b2]
     arm1 = efc.con_pos - ref_b[b1]
     t2 = torque_w + jnp.cross(arm2, force_w)
@@ -155,9 +175,10 @@ def integrate(
     dtype = qpos.dtype
     h = jnp.asarray(m.opt.timestep, dtype)
     B = jnp.asarray(params["dof_damping"], dtype)
-    Mh = M + h * jnp.diag(B)
-    L = jnp.linalg.cholesky(Mh)
-    qvel_new = qvel + h * jax.scipy.linalg.cho_solve((L, True), M @ qacc)
+    with jax.default_matmul_precision("highest"):
+        Mh = M + h * jnp.diag(B)
+        L = jnp.linalg.cholesky(Mh)
+        qvel_new = qvel + h * jax.scipy.linalg.cho_solve((L, True), M @ qacc)
 
     qpos_new = qpos
     for j in range(m.njnt):
@@ -177,23 +198,33 @@ def integrate(
 
 
 def step(
-    pl: Pipeline, params, qpos: jax.Array, qvel: jax.Array, ctrl: jax.Array
+    pl: Pipeline, params, qpos: jax.Array, qvel: jax.Array, ctrl: jax.Array,
+    warmstart: jax.Array | None = None,
 ):
     """One physics substep.  Returns (qpos', qvel', StepData)."""
-    data, M = forward(pl, params, qpos, qvel, ctrl)
+    data, M = forward(pl, params, qpos, qvel, ctrl, warmstart=warmstart)
     qpos_new, qvel_new = integrate(pl, params, qpos, qvel, data.qacc, M)
     return qpos_new, qvel_new, data
 
 
-def step_n(pl: Pipeline, params, qpos, qvel, ctrl, n: int):
+def step_n(
+    pl: Pipeline, params, qpos, qvel, ctrl, n: int,
+    warmstart: jax.Array | None = None,
+):
     """n substeps with constant ctrl (reference frame_skip=10,
-    go1_mujoco_env.py:49).  Returns (qpos', qvel', last StepData)."""
+    go1_mujoco_env.py:49).  The Newton solver warmstarts from the previous
+    substep's qacc (MuJoCo qacc_warmstart).  Returns (qpos', qvel',
+    last StepData)."""
+    if warmstart is None:
+        warmstart = jnp.zeros_like(qvel)
 
     def body(carry, _):
-        qp, qv = carry
-        qp, qv, data = step(pl, params, qp, qv, ctrl)
-        return (qp, qv), data
+        qp, qv, warm = carry
+        qp, qv, data = step(pl, params, qp, qv, ctrl, warmstart=warm)
+        return (qp, qv, data.qacc), data
 
-    (qpos, qvel), datas = jax.lax.scan(body, (qpos, qvel), None, length=n)
+    (qpos, qvel, _), datas = jax.lax.scan(
+        body, (qpos, qvel, warmstart), None, length=n
+    )
     last = jax.tree.map(lambda x: x[-1], datas)
     return qpos, qvel, last

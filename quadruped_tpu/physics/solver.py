@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..mjcf.model import PhysicsModel
 from .constraint import Efc
 
-_LS_ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.01, 0.003)
+_LS_ALPHAS = (1.0, 0.5, 0.25, 0.0625, 0.01)
 
 
 def _penalty(efc: Efc, z: jax.Array, want_hess: bool = False):
