@@ -1,0 +1,127 @@
+"""Checkpointing: model/optimizer state, metadata and training history.
+
+Replaces the reference's three persistence mechanisms (SURVEY.md §5):
+  1. SB3 model zips (final_model/best_model, train.py:138,
+     training_callback.py:483-491)  -> orbax checkpoints of the policy
+     params (+ optionally full TrainState)
+  2. resume with continued timestep counters (train.py:112-119)
+  3. training_history.json beside the best model
+     (training_callback.py:493-511) and periodic metadata_N.json
+     (checkpoints/standing_training artifacts)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _as_path(p) -> Path:
+    return Path(p).absolute()
+
+
+def save_policy(path, params: Any, metadata: dict | None = None):
+    """Save policy variables (the equivalent of an SB3 model zip)."""
+    path = _as_path(path)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path / "params", params, force=True)
+    ckpt.wait_until_finished()
+    if metadata is not None:
+        (path / "metadata.json").write_text(json.dumps(metadata, indent=1))
+
+
+def load_policy(path, like: Any):
+    path = _as_path(path)
+    ckpt = ocp.StandardCheckpointer()
+    params = ckpt.restore(path / "params", like)
+    meta = {}
+    mp = path / "metadata.json"
+    if mp.exists():
+        meta = json.loads(mp.read_text())
+    return params, meta
+
+
+def save_train_state(path, ts, metadata: dict | None = None):
+    """Full-resume checkpoint: params + optimizer + counters (+ metadata)."""
+    path = _as_path(path)
+    ckpt = ocp.StandardCheckpointer()
+    payload = {
+        "params": ts.params,
+        "opt_state": ts.opt_state,
+        "global_step": ts.global_step,
+        "rand_power": ts.rand_power,
+        "rng": ts.rng,
+    }
+    ckpt.save(path / "train_state", payload, force=True)
+    ckpt.wait_until_finished()
+    if metadata is not None:
+        (path / "metadata.json").write_text(json.dumps(metadata, indent=1))
+
+
+def load_train_state(path, ts):
+    """Restore params/optimizer/counters into an initialized TrainState."""
+    path = _as_path(path)
+    ckpt = ocp.StandardCheckpointer()
+    like = {
+        "params": ts.params,
+        "opt_state": ts.opt_state,
+        "global_step": ts.global_step,
+        "rand_power": ts.rand_power,
+        "rng": ts.rng,
+    }
+    payload = ckpt.restore(path / "train_state", like)
+    ts = dataclasses.replace(
+        ts,
+        params=payload["params"],
+        opt_state=payload["opt_state"],
+        global_step=payload["global_step"],
+        rand_power=payload["rand_power"],
+        rng=payload["rng"],
+    )
+    meta = {}
+    mp = path / "metadata.json"
+    if mp.exists():
+        meta = json.loads(mp.read_text())
+    return ts, meta
+
+
+class TrainingHistory:
+    """training_history.json equivalent (training_callback.py:493-511):
+    best reward plus reward/length/success/timestep series, reloadable on
+    resume (train.py:75-84)."""
+
+    FIELDS = ("timesteps", "rewards", "lengths", "successes")
+
+    def __init__(self):
+        self.best_reward = -float("inf")
+        self.series = {k: [] for k in self.FIELDS}
+
+    def append(self, timestep, reward, length, success):
+        self.series["timesteps"].append(int(timestep))
+        self.series["rewards"].append(float(reward))
+        self.series["lengths"].append(float(length))
+        self.series["successes"].append(bool(success))
+        if reward > self.best_reward:
+            self.best_reward = float(reward)
+            return True
+        return False
+
+    def save(self, path):
+        payload = {"best_reward": self.best_reward, **self.series}
+        _as_path(path).write_text(json.dumps(payload, indent=1))
+
+    @staticmethod
+    def load(path) -> "TrainingHistory":
+        h = TrainingHistory()
+        payload = json.loads(_as_path(path).read_text())
+        h.best_reward = payload.get("best_reward", -float("inf"))
+        for k in TrainingHistory.FIELDS:
+            h.series[k] = list(payload.get(k, []))
+        return h

@@ -1,0 +1,173 @@
+"""Training/eval CLI: flag-compatible with the reference's train.py.
+
+All 14 reference flags are accepted (train.py:141-225) plus TPU-native
+extras (num_envs, n_steps, collision mode).  Unlike the reference — where
+`--run test` is accepted but unimplemented (train.py:227-230 only handles
+"train"; documented in SURVEY.md §2 dead-code notes) — test/playback mode
+works here: it loads a checkpointed policy, runs deterministic episodes,
+prints per-episode stats and optionally records videos.
+
+Usage:
+    python -m quadruped_tpu.cli.train --run train --total_timesteps 5000000
+    python -m quadruped_tpu.cli.train --run test --model_path models/<run>/best_model
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # ---- reference-compatible flags (train.py:141-225) ----------------------
+    p.add_argument("--run", type=str, required=True, choices=["train", "test"])
+    p.add_argument("--run_name", type=str, default=None,
+                   help="Run name; saved under models/ with timestamp prefix.")
+    p.add_argument("--num_parallel_envs", type=int, default=4096,
+                   help="Parallel envs (reference default 12 subprocess envs;"
+                        " here vmapped on-device).")
+    p.add_argument("--num_test_episodes", type=int, default=5)
+    p.add_argument("--record_test_episodes", action="store_true")
+    p.add_argument("--total_timesteps", type=int, default=5_000_000)
+    p.add_argument("--eval_frequency", type=int, default=300_000)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="Checkpoint dir: resume (train) or policy (test).")
+    p.add_argument("--ctrl_type", type=str, choices=["torque", "position"],
+                   default="position")
+    p.add_argument("--biped", action="store_true")
+    p.add_argument("--video_duration", type=int, default=20)
+    p.add_argument("--video_interval", type=int, default=300_000)
+    p.add_argument("--rand_power", type=float, default=0.0)
+    p.add_argument("--learning_rate", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=0)
+    # ---- TPU-native extras ---------------------------------------------------
+    p.add_argument("--n_steps", type=int, default=32,
+                   help="Rollout length per env per PPO iteration.")
+    p.add_argument("--num_minibatches", type=int, default=32)
+    p.add_argument("--n_epochs", type=int, default=10)
+    p.add_argument("--collision", type=str, default="plane",
+                   choices=["plane", "full"])
+    p.add_argument("--no_videos", action="store_true")
+    p.add_argument("--checkpoint_interval", type=int, default=500_000)
+    return p
+
+
+def make_env(args):
+    from ..env.config import Go1Config
+    from ..env.go1 import Go1Env
+
+    cfg = Go1Config(
+        ctrl_type=args.ctrl_type,
+        biped=args.biped,
+        rand_power=args.rand_power,
+        collision_mode=args.collision,
+    )
+    return Go1Env(cfg)
+
+
+def run_train(args):
+    from ..learn.ppo import PPO, PPOConfig
+    from ..learn.runner import Runner, RunnerConfig
+
+    os.makedirs("models", exist_ok=True)
+    os.makedirs("logs", exist_ok=True)
+    env = make_env(args)
+    ppo_cfg = PPOConfig(
+        num_envs=args.num_parallel_envs,
+        n_steps=args.n_steps,
+        learning_rate=args.learning_rate,
+        num_minibatches=args.num_minibatches,
+        n_epochs=args.n_epochs,
+    )
+    run_cfg = RunnerConfig(
+        total_timesteps=args.total_timesteps,
+        eval_frequency=args.eval_frequency,
+        video_interval=args.video_interval,
+        video_duration=args.video_duration,
+        run_name=args.run_name,
+        save_videos=not args.no_videos,
+        checkpoint_interval=args.checkpoint_interval,
+    )
+    runner = Runner(env, ppo_cfg, run_cfg)
+    print(
+        f"Training on {args.num_parallel_envs} vmapped envs "
+        f"({args.ctrl_type}{', biped' if args.biped else ''}) for "
+        f"{args.total_timesteps:,} timesteps"
+    )
+    runner.train(
+        seed=args.seed, resume_path=args.model_path,
+        rand_power=args.rand_power,
+    )
+
+
+def run_test(args):
+    """Playback mode (the capability the reference advertises but lacks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import checkpoint as ckpt
+    from ..learn.ppo import PPO, PPOConfig
+    from ..learn.runner import Runner, RunnerConfig
+
+    if not args.model_path:
+        raise SystemExit("--run test requires --model_path")
+    env = make_env(args)
+    runner = Runner(
+        env,
+        PPOConfig(num_envs=args.num_test_episodes, n_steps=4),
+        RunnerConfig(
+            n_eval_episodes=args.num_test_episodes,
+            eval_max_time=env.cfg.max_episode_time,
+            verbose=True,
+        ),
+    )
+    ts = runner.trainer.init(jax.random.PRNGKey(args.seed))
+    path = Path(args.model_path)
+    if (path / "train_state").exists():
+        ts, meta = ckpt.load_train_state(path, ts)
+    else:
+        params, meta = ckpt.load_policy(path, ts.params)
+        import dataclasses
+
+        ts = dataclasses.replace(ts, params=params)
+    print(f"loaded {args.model_path} (metadata: {meta})")
+
+    ep_rew, ep_len, success, out = runner.evaluate(
+        ts, jax.random.PRNGKey(args.seed + 1)
+    )
+    for i in range(len(ep_rew)):
+        print(
+            f"episode {i}: reward {ep_rew[i]:9.2f}  length {ep_len[i]:5.0f}"
+            f"  success {bool(success[i])}"
+        )
+    print(
+        f"mean reward {ep_rew.mean():.2f} +- {ep_rew.std():.2f} over "
+        f"{len(ep_rew)} episodes"
+    )
+    if args.record_test_episodes:
+        from ..viz.render import render_trajectory
+
+        for i in range(len(ep_rew)):
+            p = f"eval_videos/test_ep{i}_r{ep_rew[i]:.1f}.mp4"
+            every = max(1, int(1 / (env.cfg.dt * 30)))
+            render_trajectory(
+                out["qpos"][i][::1][: int(ep_len[i])], p,
+                env.cfg.ctrl_type, fps=30, every=every,
+            )
+            print(f"  recorded {p}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.run == "train":
+        run_train(args)
+    else:
+        run_test(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,286 @@
+"""Training orchestration: curriculum, evaluation, videos, checkpoints.
+
+This is the TPU-native replacement for the reference's SB3 callback stack
+(training_callback.py):
+  * CurriculumCallback (24-69): rand_power annealed linearly to 0 over the
+    first 70% of total timesteps — here a plain schedule on TrainState
+  * EnhancedVisualCallback (270-646): periodic deterministic evaluation
+    (n_eval_episodes forced to 2, line 348), best-model saving,
+    training_history.json, progress plot PNG, failure analysis
+  * VideoRecordingCallback (649-756): periodic video — here the eval
+    rollout logs qpos on-device and the CPU renders it offline, so the
+    training loop never blocks on OpenGL
+plus TensorBoard metrics (SB3 logger equivalent) and periodic full-resume
+checkpoints with metadata JSON (checkpoints/standing_training artifacts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import checkpoint as ckpt
+from ..env.go1 import Go1Env
+from ..models.actor_critic import Policy
+from ..viz import plots
+from .ppo import PPO, PPOConfig, TrainState
+
+
+@dataclasses.dataclass(eq=False)
+class RunnerConfig:
+    total_timesteps: int = 5_000_000      # train.py:170
+    eval_frequency: int = 300_000         # eval_freq = video_interval (train.py:90)
+    video_interval: int = 300_000         # train.py:207
+    video_duration: int = 20              # seconds of sim time per video
+    n_eval_episodes: int = 2              # forced to 2 (training_callback.py:348)
+    eval_max_time: float = 20.0           # show_duration_seconds (train.py:93)
+    checkpoint_interval: int = 500_000    # metadata_N.json cadence
+    curriculum_fraction: float = 0.7      # training_callback.py:49
+    model_dir: str = "models"
+    log_dir: str = "logs"
+    run_name: str | None = None
+    save_videos: bool = True
+    video_fps: int = 30
+    verbose: bool = True
+
+
+class Runner:
+    def __init__(self, env: Go1Env, ppo_cfg: PPOConfig, run_cfg: RunnerConfig,
+                 trainer: PPO | None = None):
+        self.env = env
+        self.trainer = trainer or PPO(env, ppo_cfg)
+        self.cfg = run_cfg
+        self._eval_fn = None
+
+    # ------------------------------------------------------------- evaluation
+
+    def _build_eval(self):
+        env, policy = self.env, self.trainer.policy
+        T = min(
+            int(self.cfg.eval_max_time / env.cfg.dt), env.cfg.max_episode_steps
+        )
+
+        def one_episode(variables, rng):
+            state = env.reset(rng)
+            obs = env.obs(state)
+
+            def body(carry, _):
+                state, obs, done, ep_rew, ep_len = carry
+                action, _ = policy.act_deterministic(
+                    variables, obs.astype(jnp.float32)
+                )
+                state2, obs2, reward, term, trunc, info = env.step(
+                    state, action
+                )
+                ep_rew = ep_rew + jnp.where(done, 0.0, reward)
+                ep_len = ep_len + jnp.where(done, 0, 1)
+                done2 = done | term | trunc
+                keep = lambda a, b: jnp.where(done, a, b)
+                state = jax.tree.map(keep, state, state2)
+                obs = keep(obs, obs2)
+                out = {
+                    "qpos": state.qpos,
+                    "reward": reward,
+                    "terminated": term & ~done,
+                    "termination_reason": info["termination_reason"],
+                    "distance_from_origin": info["distance_from_origin"],
+                    "bipedal_success": info["bipedal_success"],
+                    "reward_components": {
+                        k: v for k, v in info.items()
+                        if k.endswith("_reward") or k.endswith("_cost")
+                        or k.startswith("reward_")
+                    },
+                }
+                return (state, obs, done2, ep_rew, ep_len), out
+
+            init = (state, obs, jnp.zeros((), bool), jnp.zeros(()), 0)
+            (state, obs, done, ep_rew, ep_len), out = jax.lax.scan(
+                body, init, None, length=T
+            )
+            success = (~done) | out["bipedal_success"][-1]
+            return ep_rew, ep_len, success, out
+
+        def evaluate(variables, rng):
+            rngs = jax.random.split(rng, self.cfg.n_eval_episodes)
+            return jax.vmap(one_episode, in_axes=(None, 0))(variables, rngs)
+
+        return jax.jit(evaluate)
+
+    def evaluate(self, ts: TrainState, rng):
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval()
+        ep_rew, ep_len, success, out = self._eval_fn(ts.params, rng)
+        return (
+            np.asarray(ep_rew), np.asarray(ep_len), np.asarray(success),
+            jax.tree.map(np.asarray, out),
+        )
+
+    # ----------------------------------------------------------------- train
+
+    def train(self, seed: int = 0, resume_path: str | None = None,
+              rand_power: float = 0.0):
+        cfg = self.cfg
+        trainer = self.trainer
+        run_name = time.strftime("%Y-%m-%d_%H-%M-%S")
+        if cfg.run_name:
+            run_name += f"-{cfg.run_name}"
+        run_dir = Path(cfg.model_dir) / run_name
+        run_dir.mkdir(parents=True, exist_ok=True)
+        video_dir = Path("training_videos")
+
+        ts = trainer.init(jax.random.PRNGKey(seed), rand_power=rand_power)
+        history = ckpt.TrainingHistory()
+        if resume_path:
+            ts, meta = ckpt.load_train_state(resume_path, ts)
+            hist_path = Path(resume_path) / "training_history.json"
+            if hist_path.exists():
+                history = ckpt.TrainingHistory.load(hist_path)
+                if cfg.verbose:
+                    print(f"resumed history from {hist_path}")
+
+        writer = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(str(Path(cfg.log_dir) / run_name))
+        except Exception:
+            pass
+
+        steps_per_iter = trainer.cfg.num_envs * trainer.cfg.n_steps
+        eval_rng = jax.random.PRNGKey(seed + 1)
+        next_eval = 0          # reference evaluates on the first step too
+        next_video = cfg.video_interval
+        next_ckpt = cfg.checkpoint_interval
+        initial_rp = rand_power
+        t_start = time.time()
+        metrics = {}
+
+        while int(ts.global_step) < cfg.total_timesteps:
+            # curriculum: linear anneal to 0 over the first 70% of training
+            progress = int(ts.global_step) / max(cfg.total_timesteps, 1)
+            rp = max(
+                0.0, initial_rp * (1 - progress / cfg.curriculum_fraction)
+            ) if initial_rp > 0 else 0.0
+            ts = dataclasses.replace(
+                ts, rand_power=jnp.asarray(rp, jnp.float32)
+            )
+
+            ts, metrics = trainer.train_iteration(ts)
+            step = int(ts.global_step)
+
+            if writer:
+                for k, v in metrics.items():
+                    writer.add_scalar(f"train/{k}", float(v), step)
+                writer.add_scalar("curriculum/rand_power", rp, step)
+                writer.add_scalar(
+                    "perf/env_steps_per_sec",
+                    step / max(time.time() - t_start, 1e-9), step,
+                )
+
+            if step >= next_eval:
+                next_eval = step + cfg.eval_frequency
+                eval_rng, k = jax.random.split(eval_rng)
+                ep_rew, ep_len, success, out = self.evaluate(ts, k)
+                mean_rew = float(ep_rew.mean())
+                is_best = history.append(
+                    step, mean_rew, float(ep_len.mean()), bool(success.any())
+                )
+                history.save(run_dir / "training_history.json")
+                plots.save_progress_plot(history, "training_progress.png")
+                plots.save_progress_plot(
+                    history, run_dir / "training_progress.png"
+                )
+                analysis = plots.failure_analysis(
+                    {
+                        "termination_reason": out["termination_reason"],
+                        "distance_from_origin": out["distance_from_origin"],
+                    }
+                )
+                if writer:
+                    writer.add_scalar("eval/mean_reward", mean_rew, step)
+                    writer.add_scalar(
+                        "eval/mean_length", float(ep_len.mean()), step
+                    )
+                if is_best:
+                    ckpt.save_policy(
+                        run_dir / "best_model", ts.params,
+                        {"global_step": step, "mean_reward": mean_rew},
+                    )
+                if cfg.verbose:
+                    sps = step / max(time.time() - t_start, 1e-9)
+                    print(
+                        f"[{step:>12,}] eval reward {mean_rew:8.2f} "
+                        f"(best {history.best_reward:8.2f}) "
+                        f"len {float(ep_len.mean()):6.1f} "
+                        f"| train reward {float(metrics['mean_reward']):6.3f} "
+                        f"| {sps:,.0f} steps/s | rand_power {rp:.3f}"
+                    )
+                    if analysis["failure_modes"]:
+                        print(
+                            "  failures:",
+                            json.dumps(analysis["failure_modes"]),
+                        )
+
+                if cfg.save_videos and step >= next_video:
+                    next_video = step + cfg.video_interval
+                    from ..viz.render import render_trajectory
+
+                    qpos_log = out["qpos"][0]  # first eval episode
+                    n_frames = min(
+                        len(qpos_log), cfg.video_duration * cfg.video_fps
+                    )
+                    # control rate is 50 Hz; subsample to ~video_fps
+                    every = max(1, int(1 / (self.env.cfg.dt * cfg.video_fps)))
+                    path = video_dir / (
+                        f"training_t{step}_r{mean_rew:.1f}_"
+                        f"{time.strftime('%Y%m%d_%H%M%S')}.mp4"
+                    )
+                    try:
+                        render_trajectory(
+                            qpos_log[: n_frames * every], path,
+                            self.env.cfg.ctrl_type, fps=cfg.video_fps,
+                            every=every,
+                        )
+                        hist = plots.termination_histogram(
+                            out["termination_reason"][
+                                out["termination_reason"] != 0
+                            ]
+                        )
+                        if cfg.verbose:
+                            print(f"  video -> {path}")
+                            if hist:
+                                print(plots.format_termination_table(hist))
+                    except Exception as e:  # rendering must never kill training
+                        print(f"  video rendering failed: {e}")
+
+            if step >= next_ckpt:
+                next_ckpt = step + cfg.checkpoint_interval
+                ckpt.save_train_state(
+                    run_dir / f"checkpoint_{step}", ts,
+                    {
+                        "global_step": step,
+                        "learning_rate": trainer.cfg.learning_rate,
+                        "num_envs": trainer.cfg.num_envs,
+                        "n_steps": trainer.cfg.n_steps,
+                        "clip_range": trainer.cfg.clip_range,
+                        "rand_power": rp,
+                        "mean_reward": float(metrics.get("mean_reward", 0.0)),
+                    },
+                )
+
+        ckpt.save_train_state(
+            run_dir / "final_model", ts,
+            {"global_step": int(ts.global_step)},
+        )
+        history.save(run_dir / "training_history.json")
+        if writer:
+            writer.close()
+        if cfg.verbose:
+            print(f"training done: {run_dir}")
+        return ts, history, run_dir

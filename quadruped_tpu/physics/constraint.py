@@ -263,9 +263,23 @@ def assemble(
     dist_all, pos_all, frame_all = narrowphase(m, table, kin)
     K = layout.max_contacts
     if K is not None and K < layout.ncon:
+        # stream-compact the active candidates into K solver slots via a
+        # cumsum scatter (a full top_k sort is ~4x slower on TPU); actives
+        # beyond K slots are dropped (K is sized well above the realistic
+        # simultaneous-contact count)
         incm_all = jnp.asarray(layout.con_includemargin, dtype)
-        sel = jax.lax.top_k(-(dist_all - incm_all), K)[1]
+        act_all = dist_all < incm_all
+        slot = jnp.cumsum(act_all) - 1
+        dest = jnp.where(act_all & (slot < K), slot, K)
+        sel = (
+            jnp.zeros(K + 1, dtype=jnp.int32)
+            .at[dest]
+            .set(jnp.arange(layout.ncon, dtype=jnp.int32))[:K]
+        )
+        slot_valid = jnp.arange(K) < jnp.sum(act_all)
         dist, pos, frame = dist_all[sel], pos_all[sel], frame_all[sel]
+        # force unselected slots inactive regardless of the dummy gather
+        dist = jnp.where(slot_valid, dist, 1e9)
         gather = lambda a: jnp.asarray(a, dtype)[sel]
         igather = lambda a: jnp.asarray(a)[sel]
     else:

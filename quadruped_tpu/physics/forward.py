@@ -46,7 +46,7 @@ class Pipeline:
 
     @staticmethod
     def build(
-        m: PhysicsModel, mode: str = "plane", max_contacts: int | None = 32,
+        m: PhysicsModel, mode: str = "plane", max_contacts: int | None = None,
     ) -> "Pipeline":
         table = build_table(m, mode)
         if max_contacts is not None and max_contacts >= table.ncand:
@@ -180,20 +180,23 @@ def integrate(
         L = jnp.linalg.cholesky(Mh)
         qvel_new = qvel + h * jax.scipy.linalg.cho_solve((L, True), M @ qacc)
 
+    # hinges: one batched scatter; free joints: exact quaternion step
+    from .kinematics import tree_levels
+
+    lv = tree_levels(m)
     qpos_new = qpos
-    for j in range(m.njnt):
+    if len(lv.hinge_jnt):
+        qpos_new = qpos_new.at[lv.hinge_qadr].add(h * qvel_new[lv.hinge_dof])
+    for j in lv.free_jnt:
         qadr = int(m.jnt_qposadr[j])
         dadr = int(m.jnt_dofadr[j])
-        if m.jnt_type[j] == JNT_FREE:
-            qpos_new = qpos_new.at[qadr : qadr + 3].add(
-                h * qvel_new[dadr : dadr + 3]
-            )
-            quat = quat_integrate(
-                qpos_new[qadr + 3 : qadr + 7], qvel_new[dadr + 3 : dadr + 6], h
-            )
-            qpos_new = qpos_new.at[qadr + 3 : qadr + 7].set(quat)
-        else:  # hinge
-            qpos_new = qpos_new.at[qadr].add(h * qvel_new[dadr])
+        qpos_new = qpos_new.at[qadr : qadr + 3].add(
+            h * qvel_new[dadr : dadr + 3]
+        )
+        quat = quat_integrate(
+            qpos_new[qadr + 3 : qadr + 7], qvel_new[dadr + 3 : dadr + 6], h
+        )
+        qpos_new = qpos_new.at[qadr + 3 : qadr + 7].set(quat)
     return qpos_new, qvel_new
 
 

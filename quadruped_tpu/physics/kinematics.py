@@ -1,11 +1,15 @@
-"""Forward kinematics and velocity kinematics.
+"""Forward kinematics and velocity kinematics (level-synchronous).
 
 All spatial quantities use "absolute" Plücker coordinates: world axes, with
 moments referenced at a point `ref` near the robot (the root body's origin).
 In these coordinates composite inertias simply add, Jacobian rows are dot
-products, and no per-joint 6x6 transforms are needed — the whole pipeline is
-a short, static unroll over the 14-body tree that XLA fuses and vmaps over
-thousands of envs.
+products, and no per-joint 6x6 transforms are needed.
+
+TPU-first structure: bodies are processed level-by-level down the tree
+(Go1: trunk -> 4 hips -> 4 thighs -> 4 calves), with each level's quaternion
+math batched across its bodies, and all tree accumulations (cvel) expressed
+as one static-mask matmul.  This keeps the op count per step small — the
+dominant cost model on TPU for this workload is op dispatch, not FLOPs.
 
 Replaces MuJoCo's mj_kinematics/mj_comPos/mj_comVel (reference dependency
 C13; fields consumed by the env: xpos, xmat, site_xpos — see
@@ -16,6 +20,8 @@ angular); hinge axis/anchor fixed in the child body frame.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import flax.struct
 import jax
@@ -43,55 +49,139 @@ class Kin:
     cvel: jax.Array        # (nbody, 6) body spatial velocity [omega; v_ref]
 
 
+@dataclasses.dataclass(eq=False)
+class _Levels:
+    """Static tree schedule: bodies grouped by depth, joints by type."""
+
+    levels: list  # list of dicts with numpy index arrays
+    hinge_jnt: np.ndarray      # all hinge joint ids (model order)
+    hinge_body: np.ndarray
+    hinge_dof: np.ndarray
+    hinge_qadr: np.ndarray
+    free_jnt: np.ndarray
+    # velocity-bias dof mask: dofs whose motion vector is body-fixed
+    # (hinges + free rotational); free translations are world-fixed
+    svel_mask: np.ndarray      # (nbody, nv)
+    anc_body: np.ndarray       # (nbody, nbody) ancestor-or-self (excl world)
+    sub_body: np.ndarray       # (nbody, nbody) subtree: sub[b,d]=1 if d in subtree(b)
+
+
+_LVL_CACHE: dict[int, _Levels] = {}
+
+
+def tree_levels(m: PhysicsModel) -> _Levels:
+    if id(m) in _LVL_CACHE:
+        return _LVL_CACHE[id(m)]
+    depth = np.zeros(m.nbody, dtype=int)
+    for i in range(1, m.nbody):
+        depth[i] = depth[m.body_parentid[i]] + 1
+    levels = []
+    for d in range(1, depth.max() + 1):
+        ids = np.where(depth == d)[0]
+        jnt = np.full(len(ids), -1)
+        for k, b in enumerate(ids):
+            assert m.body_jntnum[b] <= 1, "fast path supports <=1 joint/body"
+            if m.body_jntnum[b] == 1:
+                jnt[k] = m.body_jntadr[b]
+        hinge = np.array([k for k in range(len(ids)) if jnt[k] >= 0
+                          and m.jnt_type[jnt[k]] == JNT_HINGE])
+        free = np.array([k for k in range(len(ids)) if jnt[k] >= 0
+                         and m.jnt_type[jnt[k]] == JNT_FREE])
+        levels.append(
+            dict(
+                ids=ids,
+                parents=m.body_parentid[ids].copy(),
+                hinge_k=hinge.astype(int),
+                free_k=free.astype(int),
+                jnt=jnt,
+            )
+        )
+
+    hinge_jnt = np.where(m.jnt_type == JNT_HINGE)[0]
+    free_jnt = np.where(m.jnt_type == JNT_FREE)[0]
+
+    svel_mask = np.zeros((m.nbody, m.nv))
+    for j in range(m.njnt):
+        b = int(m.jnt_bodyid[j])
+        d = int(m.jnt_dofadr[j])
+        if m.jnt_type[j] == JNT_HINGE:
+            svel_mask[b, d] = 1.0
+        else:  # free: rotational dofs only
+            svel_mask[b, d + 3 : d + 6] = 1.0
+
+    anc_body = np.zeros((m.nbody, m.nbody))
+    for b in range(1, m.nbody):
+        i = b
+        while i != 0:
+            anc_body[b, i] = 1.0
+            i = int(m.body_parentid[i])
+    sub_body = anc_body.T.copy()  # sub[b, d] = 1 iff b is ancestor-or-self of d
+
+    lv = _Levels(
+        levels=levels,
+        hinge_jnt=hinge_jnt,
+        hinge_body=m.jnt_bodyid[hinge_jnt].copy(),
+        hinge_dof=m.jnt_dofadr[hinge_jnt].copy(),
+        hinge_qadr=m.jnt_qposadr[hinge_jnt].copy(),
+        free_jnt=free_jnt,
+        svel_mask=svel_mask,
+        anc_body=anc_body,
+        sub_body=sub_body,
+    )
+    _LVL_CACHE[id(m)] = lv
+    return lv
+
+
 def fk(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array) -> Kin:
     dtype = qpos.dtype
+    lv = tree_levels(m)
 
     def const(x):
         return jnp.asarray(x, dtype=dtype)
 
-    xpos = [jnp.zeros(3, dtype)]
-    xquat = [const([1.0, 0, 0, 0])]
+    nb = m.nbody
+    xpos = jnp.zeros((nb, 3), dtype)
+    xquat = jnp.zeros((nb, 4), dtype).at[:, 0].set(1.0)
 
-    # ---- positions ----------------------------------------------------------
-    for i in range(1, m.nbody):
-        p = int(m.body_parentid[i])
-        xq = quat_mul(xquat[p], const(m.body_quat[i]))
-        xp = xpos[p] + quat_rotate(xquat[p], const(m.body_pos[i]))
-        for j in range(int(m.body_jntadr[i]), int(m.body_jntadr[i]) + int(m.body_jntnum[i])):
-            adr = int(m.jnt_qposadr[j])
-            if m.jnt_type[j] == JNT_FREE:
-                xp = qpos[adr : adr + 3]
-                xq = quat_normalize(qpos[adr + 3 : adr + 7])
-            elif m.jnt_type[j] == JNT_HINGE:
-                theta = qpos[adr]
-                axis = const(m.jnt_axis[j])
-                half = 0.5 * theta
-                qj = jnp.concatenate(
-                    [jnp.cos(half)[None], axis * jnp.sin(half)]
-                )
-                anchor = xp + quat_rotate(xq, const(m.jnt_pos[j]))
-                xq = quat_mul(xq, qj)
-                xp = anchor - quat_rotate(xq, const(m.jnt_pos[j]))
-            else:
-                raise NotImplementedError("joint type")
-        xpos.append(xp)
-        xquat.append(xq)
+    # ---- positions: one batched pass per tree level -------------------------
+    for lev in lv.levels:
+        ids = lev["ids"]
+        pq = xquat[lev["parents"]]
+        pp = xpos[lev["parents"]]
+        xq = quat_mul(pq, const(m.body_quat[ids]))
+        xp = pp + quat_rotate(pq, const(m.body_pos[ids]))
+        if len(lev["free_k"]):
+            for k in lev["free_k"]:
+                adr = int(m.jnt_qposadr[lev["jnt"][k]])
+                xp = xp.at[k].set(qpos[adr : adr + 3])
+                xq = xq.at[k].set(quat_normalize(qpos[adr + 3 : adr + 7]))
+        hk = lev["hinge_k"]
+        if len(hk):
+            jids = lev["jnt"][hk]
+            theta = qpos[m.jnt_qposadr[jids]]
+            axis = const(m.jnt_axis[jids])
+            half = 0.5 * theta
+            qj = jnp.concatenate(
+                [jnp.cos(half)[:, None], axis * jnp.sin(half)[:, None]], axis=1
+            )
+            jpos = const(m.jnt_pos[jids])
+            anchor = xp[hk] + quat_rotate(xq[hk], jpos)
+            xq_h = quat_mul(xq[hk], qj)
+            xp_h = anchor - quat_rotate(xq_h, jpos)
+            xq = xq.at[hk].set(xq_h)
+            xp = xp.at[hk].set(xp_h)
+        xpos = xpos.at[ids].set(xp)
+        xquat = xquat.at[ids].set(xq)
 
-    xpos = jnp.stack(xpos)
-    xquat = jnp.stack(xquat)
     xmat = quat_to_mat(xquat)
-
-    xipos = xpos + jax.vmap(quat_rotate)(xquat, const(m.body_ipos))
+    xipos = xpos + quat_rotate(xquat, const(m.body_ipos))
     ximat = xmat @ quat_to_mat(const(m.body_iquat))
-
-    geom_xpos = xpos[m.geom_bodyid] + jax.vmap(quat_rotate)(
+    geom_xpos = xpos[m.geom_bodyid] + quat_rotate(
         xquat[m.geom_bodyid], const(m.geom_pos)
     )
-    geom_xmat = quat_to_mat(
-        jax.vmap(quat_mul)(xquat[m.geom_bodyid], const(m.geom_quat))
-    )
+    geom_xmat = quat_to_mat(quat_mul(xquat[m.geom_bodyid], const(m.geom_quat)))
     if m.nsite:
-        site_xpos = xpos[m.site_bodyid] + jax.vmap(quat_rotate)(
+        site_xpos = xpos[m.site_bodyid] + quat_rotate(
             xquat[m.site_bodyid], const(m.site_pos)
         )
     else:
@@ -100,39 +190,33 @@ def fk(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array) -> Kin:
     # reference point for Plücker moments: first root body origin (trunk)
     ref = xpos[1] if m.nbody > 1 else jnp.zeros(3, dtype)
 
-    # ---- dof motion vectors -------------------------------------------------
-    cdof = [None] * m.nv
-    for j in range(m.njnt):
+    # ---- dof motion vectors (all hinges batched; free joints unrolled) ------
+    cdof = jnp.zeros((m.nv, 6), dtype)
+    if len(lv.hinge_jnt):
+        hb = lv.hinge_body
+        axis_w = jnp.einsum(
+            "jab,jb->ja", xmat[hb], const(m.jnt_axis[lv.hinge_jnt])
+        )
+        anchor = xpos[hb] + quat_rotate(
+            xquat[hb], const(m.jnt_pos[lv.hinge_jnt])
+        )
+        vref = jnp.cross(axis_w, ref[None, :] - anchor)
+        cdof = cdof.at[lv.hinge_dof].set(
+            jnp.concatenate([axis_w, vref], axis=1)
+        )
+    for j in lv.free_jnt:
         b = int(m.jnt_bodyid[j])
         dadr = int(m.jnt_dofadr[j])
-        if m.jnt_type[j] == JNT_FREE:
-            zero = jnp.zeros(3, dtype)
-            for k in range(3):  # world-frame translations
-                e = const(np.eye(3)[k])
-                cdof[dadr + k] = jnp.concatenate([zero, e])
-            R = xmat[b]
-            arm = ref - xpos[b]
-            for k in range(3):  # body-frame rotations about body origin
-                w = R[:, k]
-                cdof[dadr + 3 + k] = jnp.concatenate([w, jnp.cross(w, arm)])
-        else:  # hinge
-            axis_w = xmat[b] @ const(m.jnt_axis[j])
-            anchor = xpos[b] + quat_rotate(xquat[b], const(m.jnt_pos[j]))
-            cdof[dadr] = jnp.concatenate(
-                [axis_w, jnp.cross(axis_w, ref - anchor)]
-            )
-    cdof = jnp.stack(cdof)
+        R = xmat[b]
+        arm = ref - xpos[b]
+        # translations: world axes; rotations: body axes about body origin
+        trans = jnp.concatenate([jnp.zeros((3, 3), dtype), jnp.eye(3, dtype=dtype)], axis=1)
+        rot = jnp.concatenate([R.T, jnp.cross(R.T, arm[None, :])], axis=1)
+        cdof = cdof.at[dadr : dadr + 3].set(trans)
+        cdof = cdof.at[dadr + 3 : dadr + 6].set(rot)
 
-    # ---- body spatial velocities (forward accumulation) --------------------
-    cvel = [jnp.zeros(6, dtype)]
-    for i in range(1, m.nbody):
-        p = int(m.body_parentid[i])
-        v = cvel[p]
-        dadr, dnum = int(m.body_dofadr[i]), int(m.body_dofnum[i])
-        if dnum:
-            v = v + cdof[dadr : dadr + dnum].T @ qvel[dadr : dadr + dnum]
-        cvel.append(v)
-    cvel = jnp.stack(cvel)
+    # ---- body spatial velocities: one ancestor-mask matmul ------------------
+    cvel = jnp.asarray(ancestor_dof_mask(m), dtype) @ (cdof * qvel[:, None])
 
     return Kin(
         xpos=xpos,

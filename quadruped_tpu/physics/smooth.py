@@ -3,8 +3,10 @@ passive forces and actuation.
 
 Everything is expressed in the absolute Plücker coordinates produced by
 `kinematics.fk` (world axes, moments about kin.ref), where composite rigid
-body inertias add without transforms and the CRBA reduces to one (nv,6) x
-(6,nv) matmul — MXU-friendly and trivially vmappable.
+body inertias add without transforms.  All tree recursions are flattened
+into static-mask matmuls (subtree/ancestor masks), and per-body math is
+batched over the whole body axis: the entire smooth pass is ~30 XLA ops —
+op-dispatch count, not FLOPs, is the cost model for these small tensors.
 
 Replaces MuJoCo's mj_crb / mj_rne / mj_passive / mj_fwdActuation (reference
 dependency C13).  Oracle-tested against mj_fullM, qfrc_bias, qfrc_passive,
@@ -18,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mjcf.model import ACT_MOTOR, ACT_POSITION, JNT_FREE, PhysicsModel
-from .kinematics import Kin, ancestor_dof_pair_mask
+from .kinematics import Kin, ancestor_dof_pair_mask, tree_levels
 from .math import force_cross, motion_cross, skew
 
 
@@ -44,14 +46,12 @@ def body_inertias(m: PhysicsModel, params, kin: Kin) -> jax.Array:
 
 def crba(m: PhysicsModel, params, kin: Kin) -> jax.Array:
     """(nv, nv) joint-space inertia matrix (== mj_fullM + armature)."""
+    lv = tree_levels(m)
     H = body_inertias(m, params, kin)
-    # composite inertias: backward accumulation over the static tree
-    Hc = [H[i] for i in range(m.nbody)]
-    for i in range(m.nbody - 1, 0, -1):
-        p = int(m.body_parentid[i])
-        if p:
-            Hc[p] = Hc[p] + Hc[i]
-    Hc = jnp.stack(Hc)
+    dtype = H.dtype
+    # composite subtree inertias: one static-mask matmul on flattened 6x6
+    sub = jnp.asarray(lv.sub_body, dtype)
+    Hc = (sub @ H.reshape(m.nbody, 36)).reshape(m.nbody, 6, 6)
     # f_d = Hc[body(d)] @ cdof_d ; M[e,d] = cdof_e . f_d on ancestor pairs
     F = jnp.einsum("dij,dj->di", Hc[m.dof_bodyid], kin.cdof)
     P = kin.cdof @ F.T
@@ -64,47 +64,28 @@ def crba(m: PhysicsModel, params, kin: Kin) -> jax.Array:
 def rne_bias(m: PhysicsModel, params, kin: Kin, qvel: jax.Array) -> jax.Array:
     """(nv,) bias forces C(q,v)v + G(q)  (== mujoco qfrc_bias).
 
-    RNEA with qacc = 0 and base acceleration -g (gravity trick), in absolute
-    coordinates: a_i = a_parent + v_i x (S_rot qdot)  [S fixed in child body;
-    free-joint translation axes are world-fixed and contribute no bias].
+    RNEA with qacc = 0 and base acceleration -g (gravity trick).  The
+    velocity-product acceleration recursion a_i = a_p + v_i x (S qdot)
+    telescopes to a_i = a_0 + sum_{ancestors j} bias_j, evaluated as one
+    ancestor-mask matmul; free-joint translation axes are world-fixed and
+    contribute no bias.
     """
     dtype = qvel.dtype
+    lv = tree_levels(m)
     gravity = jnp.asarray(params["gravity"], dtype)
     H = body_inertias(m, params, kin)
 
+    # per-body body-fixed joint velocity (hinges + free rotational dofs)
+    svel = jnp.asarray(lv.svel_mask, dtype) @ (kin.cdof * qvel[:, None])
+    bias = motion_cross(kin.cvel, svel)                    # (nbody, 6)
     a0 = jnp.concatenate([jnp.zeros(3, dtype), -gravity])
-    acc = [a0]
-    for i in range(1, m.nbody):
-        p = int(m.body_parentid[i])
-        a = acc[p]
-        v_i = kin.cvel[i]
-        for j in range(int(m.body_jntadr[i]), int(m.body_jntadr[i]) + int(m.body_jntnum[i])):
-            dadr = int(m.jnt_dofadr[j])
-            if m.jnt_type[j] == JNT_FREE:
-                sqd = kin.cdof[dadr + 3 : dadr + 6].T @ qvel[dadr + 3 : dadr + 6]
-            else:
-                sqd = kin.cdof[dadr] * qvel[dadr]
-            a = a + motion_cross(v_i, sqd)
-        acc.append(a)
+    acc = a0 + jnp.asarray(lv.anc_body, dtype) @ bias      # (nbody, 6)
 
-    # body forces f = H a + v x* (H v); backward accumulate; project on dofs
-    f = [None] * m.nbody
-    for i in range(1, m.nbody):
-        hv = H[i] @ kin.cvel[i]
-        f[i] = H[i] @ acc[i] + force_cross(kin.cvel[i], hv)
-    for i in range(m.nbody - 1, 0, -1):
-        p = int(m.body_parentid[i])
-        if p:
-            f[p] = f[p] + f[i]
-
-    qfrc = jnp.zeros(m.nv, dtype)
-    for j in range(m.njnt):
-        b = int(m.jnt_bodyid[j])
-        dadr = int(m.jnt_dofadr[j])
-        dnum = 6 if m.jnt_type[j] == JNT_FREE else 1
-        rows = kin.cdof[dadr : dadr + dnum] @ f[b]
-        qfrc = qfrc.at[dadr : dadr + dnum].set(rows)
-    return qfrc
+    # body forces f = H a + v x* (H v); subtree-accumulate; project on dofs
+    Hv = jnp.einsum("bij,bj->bi", H, kin.cvel)
+    f = jnp.einsum("bij,bj->bi", H, acc) + force_cross(kin.cvel, Hv)
+    fs = jnp.asarray(lv.sub_body, dtype) @ f               # (nbody, 6)
+    return jnp.einsum("di,di->d", kin.cdof, fs[m.dof_bodyid])
 
 
 def passive_force(m: PhysicsModel, params, qvel: jax.Array) -> jax.Array:
@@ -148,7 +129,7 @@ def actuator_force(
 def smooth_dynamics(
     m: PhysicsModel, params, kin: Kin, qpos, qvel, ctrl
 ):
-    """Returns (M, qfrc_smooth, qacc_smooth, qfrc_actuator)."""
+    """Returns (M, L, qfrc_smooth, qacc_smooth, qfrc_actuator)."""
     M = crba(m, params, kin)
     bias = rne_bias(m, params, kin, qvel)
     qfrc_act = actuator_force(m, params, qpos, qvel, ctrl)

@@ -33,18 +33,21 @@ _LS_ALPHAS = (1.0, 0.5, 0.25, 0.0625, 0.01)
 def _penalty(efc: Efc, z: jax.Array, want_hess: bool = False):
     """Per-row force f(z), total penalty S(z), diagonal weights w(z) for the
     simple rows, and (if want_hess) exact 6x6 cone Hessian blocks
-    B (ncon,6,6) such that  H = M + J^T diag(w) J + sum_c Jc^T Bc Jc."""
+    B (ncon,6,6) such that  H = M + J^T diag(w) J + sum_c Jc^T Bc Jc.
+
+    Broadcasts over leading axes of z: the line search evaluates all step
+    candidates in ONE call with z of shape (n_alphas, nefc)."""
     dtype = z.dtype
     nf, nl = efc.nf, efc.nl
     ncon = efc.con_dist.shape[0]
     f = jnp.zeros_like(z)
     w = jnp.zeros_like(z)
     B = None
-    S = jnp.zeros((), dtype)
+    S = jnp.zeros(z.shape[:-1], dtype)
 
     # ---- dof friction rows (always active) ----------------------------------
     if nf:
-        zf = z[:nf]
+        zf = z[..., :nf]
         D = efc.D[:nf]
         R = efc.R[:nf]
         fl = efc.floss[:nf]
@@ -52,31 +55,31 @@ def _penalty(efc: Efc, z: jax.Array, want_hess: bool = False):
         quad = jnp.abs(f_unc) <= fl
         ff = jnp.clip(f_unc, -fl, fl)
         sf = jnp.where(quad, 0.5 * D * zf * zf, fl * jnp.abs(zf) - 0.5 * fl * fl * R)
-        f = f.at[:nf].set(ff)
-        w = w.at[:nf].set(jnp.where(quad, D, 0.0))
-        S = S + jnp.sum(sf)
+        f = f.at[..., :nf].set(ff)
+        w = w.at[..., :nf].set(jnp.where(quad, D, 0.0))
+        S = S + jnp.sum(sf, axis=-1)
 
     # ---- joint limit rows ----------------------------------------------------
     if nl:
         sl = slice(nf, nf + nl)
-        zl = z[sl]
+        zl = z[..., sl]
         D = efc.D[sl]
         act = efc.active[sl] & (zl < 0)
         fl_ = jnp.where(act, -D * zl, 0.0)
-        f = f.at[sl].set(fl_)
-        w = w.at[sl].set(jnp.where(act, D, 0.0))
-        S = S + jnp.sum(jnp.where(act, 0.5 * D * zl * zl, 0.0))
+        f = f.at[..., sl].set(fl_)
+        w = w.at[..., sl].set(jnp.where(act, D, 0.0))
+        S = S + jnp.sum(jnp.where(act, 0.5 * D * zl * zl, 0.0), axis=-1)
 
     # ---- elliptic contact blocks ----------------------------------------------
     if ncon:
-        zc = z[nf + nl :].reshape(ncon, 6)
+        zc = z[..., nf + nl :].reshape(z.shape[:-1] + (ncon, 6))
         Rn = efc.R[nf + nl :].reshape(ncon, 6)[:, 0]
         mask = efc.con_dim_mask.astype(dtype) * efc.con_active[:, None].astype(dtype)
         zeta = zc * efc.con_scale * mask
         u = -zeta / Rn[:, None]
-        u0 = u[:, 0]
-        ut = u[:, 1:]
-        t = jnp.sqrt(jnp.sum(ut * ut, axis=1) + 1e-30)
+        u0 = u[..., 0]
+        ut = u[..., 1:]
+        t = jnp.sqrt(jnp.sum(ut * ut, axis=-1) + 1e-30)
         mu = efc.con_mu_tilde
         bottom = t <= mu * u0
         top = mu * t <= -u0
@@ -84,18 +87,23 @@ def _penalty(efc: Efc, z: jax.Array, want_hess: bool = False):
 
         alpha = (u0 + mu * t) / (1.0 + mu * mu)
         phi0 = jnp.where(bottom, u0, jnp.where(top, 0.0, alpha))
-        tdir = ut / t[:, None]
+        tdir = ut / t[..., None]
         phit = jnp.where(
-            bottom[:, None], ut, jnp.where(top[:, None], 0.0, (mu * alpha)[:, None] * tdir)
+            bottom[..., None], ut,
+            jnp.where(top[..., None], 0.0, (mu * alpha)[..., None] * tdir),
         )
-        phi = jnp.concatenate([phi0[:, None], phit], axis=1)
+        phi = jnp.concatenate([phi0[..., None], phit], axis=-1)
         # penalty 1/2 Rn (|u|^2 - |u - phi|^2)
         du = u - phi
-        s_con = 0.5 * Rn * (jnp.sum(u * u, axis=1) - jnp.sum(du * du, axis=1))
-        S = S + jnp.sum(s_con * efc.con_active.astype(dtype))
+        s_con = 0.5 * Rn * (
+            jnp.sum(u * u, axis=-1) - jnp.sum(du * du, axis=-1)
+        )
+        S = S + jnp.sum(s_con * efc.con_active.astype(dtype), axis=-1)
 
         f_con = phi * efc.con_fscale * mask
-        f = f.at[nf + nl :].set(f_con.reshape(-1))
+        f = f.at[..., nf + nl :].set(
+            f_con.reshape(z.shape[:-1] + (ncon * 6,))
+        )
 
         if want_hess:
             # exact Hessian of sigma wrt z per contact: B = S dP/du S / Rn
@@ -157,12 +165,11 @@ def solve(
         qa = 0.5 * jnp.dot(delta, Md)
         qb = jnp.dot(delta, M @ (a - qacc_smooth))
 
-        def phi(alpha):
-            _, S_a, _, _ = _penalty(efc, z + alpha * Jd)
-            return alpha * qb + alpha * alpha * qa + S_a
-
-        phis = jnp.stack([phi(al) for al in _LS_ALPHAS] + [S])
+        # evaluate all line-search candidates in one batched penalty call
         alphas = jnp.asarray(_LS_ALPHAS + (0.0,), dtype)
+        z_cand = z[None, :] + alphas[:, None] * Jd[None, :]
+        _, S_cand, _, _ = _penalty(efc, z_cand)
+        phis = alphas * qb + alphas * alphas * qa + S_cand
         best = jnp.argmin(phis)
         return a + alphas[best] * delta
 

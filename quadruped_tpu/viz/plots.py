@@ -1,0 +1,92 @@
+"""Training progress plots and run analysis.
+
+Replaces the reference's live matplotlib plotting + analysis
+(EnhancedVisualCallback._update_enhanced_plots -> training_progress.png,
+training_callback.py:538-571; failure analysis 450-463; detailed report
+573-646; termination histogram table 740-751).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from pathlib import Path
+
+import numpy as np
+
+TERMINATION_NAMES = {
+    0: "not_terminated",
+    1: "state_not_finite",
+    2: "unhealthy_z",
+    3: "unhealthy_roll",
+    4: "unhealthy_pitch",
+}
+
+
+def save_progress_plot(history, path="training_progress.png", window: int = 10):
+    """4-panel progress figure: eval reward (+moving average), episode
+    length, success rate, best-so-far — written as a PNG the monitor server
+    exposes (monitorserver.py:81-92 in the reference)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t = np.asarray(history.series["timesteps"], dtype=float)
+    r = np.asarray(history.series["rewards"], dtype=float)
+    ln = np.asarray(history.series["lengths"], dtype=float)
+    sc = np.asarray(history.series["successes"], dtype=float)
+
+    fig, axes = plt.subplots(2, 2, figsize=(12, 8))
+    ax = axes[0, 0]
+    ax.plot(t, r, alpha=0.4, label="eval reward")
+    if len(r) >= window:
+        ma = np.convolve(r, np.ones(window) / window, mode="valid")
+        ax.plot(t[window - 1 :], ma, lw=2, label=f"moving avg ({window})")
+    ax.set_title("Evaluation reward")
+    ax.legend()
+    axes[0, 1].plot(t, ln)
+    axes[0, 1].set_title("Episode length")
+    if len(sc):
+        axes[1, 0].plot(t, np.cumsum(sc) / (np.arange(len(sc)) + 1))
+    axes[1, 0].set_title("Success rate (cumulative)")
+    axes[1, 1].plot(t, np.maximum.accumulate(r) if len(r) else r)
+    axes[1, 1].set_title(f"Best reward: {history.best_reward:.2f}")
+    for a in axes.ravel():
+        a.set_xlabel("timesteps")
+        a.grid(alpha=0.3)
+    fig.tight_layout()
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return str(path)
+
+
+def termination_histogram(reasons) -> dict[str, int]:
+    """Histogram of termination reason codes -> names (reference prints the
+    same table after each video, training_callback.py:740-751)."""
+    c = Counter(int(x) for x in np.asarray(reasons).ravel())
+    return {
+        TERMINATION_NAMES.get(k, f"reason_{k}"): v
+        for k, v in sorted(c.items())
+    }
+
+
+def format_termination_table(hist: dict[str, int]) -> str:
+    total = sum(hist.values()) or 1
+    lines = ["termination reason      count   share", "-" * 40]
+    for name, count in hist.items():
+        lines.append(f"{name:<22}{count:>7}  {100*count/total:5.1f}%")
+    return "\n".join(lines)
+
+
+def failure_analysis(infos) -> dict:
+    """Aggregate failure modes from batched step infos (reference
+    _analyze_failure, training_callback.py:450-463)."""
+    reasons = np.asarray(infos["termination_reason"])
+    hist = termination_histogram(reasons[reasons != 0])
+    return {
+        "failure_modes": hist,
+        "distance_from_origin_mean": float(
+            np.mean(np.asarray(infos["distance_from_origin"]))
+        ),
+    }

@@ -1,0 +1,145 @@
+"""Offline video rendering: replay logged qpos trajectories to MP4.
+
+TPU-first split: training never renders — the rollout logs qpos
+trajectories (a (T, nq) array copied off-device once per video interval),
+and this module replays them through the mujoco renderer on CPU, writing
+MP4 via OpenCV.  This replaces the reference's in-loop rgb_array rendering
+(train.py:53-61 eval env at 1024x768, camera "tracking";
+training_callback.py:686-756 VideoRecordingCallback).
+
+If no GL platform is available the renderer degrades to a matplotlib
+wireframe so video capability never hard-fails (gated, not stubbed).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+_RENDERER = None
+_RENDER_MODEL = None
+
+
+def _ensure_gl():
+    os.environ.setdefault("MUJOCO_GL", "egl")
+
+
+def _make_renderer(ctrl_type: str, width: int, height: int):
+    """mujoco renderer over our exported XML (collision geoms, group 3)."""
+    global _RENDERER, _RENDER_MODEL
+    _ensure_gl()
+    import mujoco
+
+    from ..assets import go1_xml
+
+    mj = mujoco.MjModel.from_xml_string(go1_xml(ctrl_type))
+    renderer = mujoco.Renderer(mj, height=height, width=width)
+    return mj, renderer
+
+
+class TrajectoryRenderer:
+    """Replays (T, nq) qpos logs through mujoco; falls back to wireframe."""
+
+    def __init__(self, ctrl_type: str = "torque", width: int = 640,
+                 height: int = 480):
+        self.width, self.height = width, height
+        self.ctrl_type = ctrl_type
+        self.backend = "none"
+        try:
+            self.mj, self.renderer = _make_renderer(ctrl_type, width, height)
+            import mujoco
+
+            self.d = mujoco.MjData(self.mj)
+            self._mujoco = mujoco
+            # show collision geoms (group 3) — the exported model carries no
+            # visual meshes
+            self.scene_option = mujoco.MjvOption()
+            self.scene_option.geomgroup[:] = 0
+            self.scene_option.geomgroup[3] = 1
+            self.scene_option.geomgroup[0] = 1
+            # tracking camera equivalent (reference camera "tracking",
+            # go1_torque.xml:84)
+            self.camera = mujoco.MjvCamera()
+            self.camera.distance = 2.0
+            self.camera.elevation = -20.0
+            self.camera.azimuth = 90.0
+            self.backend = "mujoco"
+        except Exception as e:  # pragma: no cover - GL-less hosts
+            self._err = e
+            self.backend = "wireframe"
+
+    def frame(self, qpos: np.ndarray) -> np.ndarray:
+        if self.backend == "mujoco":
+            self.d.qpos[:] = qpos
+            self._mujoco.mj_forward(self.mj, self.d)
+            self.camera.lookat[:] = self.d.qpos[:3]
+            self.renderer.update_scene(
+                self.d, camera=self.camera, scene_option=self.scene_option
+            )
+            return self.renderer.render()
+        return self._wireframe(qpos)
+
+    def _wireframe(self, qpos: np.ndarray) -> np.ndarray:
+        """CPU fallback: 2D side-view skeleton via matplotlib-free drawing."""
+        import cv2
+
+        from ..assets import go1_model
+        from ..physics.kinematics import fk
+        import jax.numpy as jnp
+
+        global _RENDER_MODEL
+        if _RENDER_MODEL is None:
+            _RENDER_MODEL = go1_model(self.ctrl_type)
+        m = _RENDER_MODEL
+        kin = fk(m, jnp.asarray(qpos), jnp.zeros(m.nv))
+        xpos = np.asarray(kin.xpos)
+        img = np.full((self.height, self.width, 3), 255, np.uint8)
+
+        def to_px(p):
+            x = int(self.width / 2 + (p[0] - qpos[0]) * 300)
+            y = int(self.height * 0.8 - p[2] * 300)
+            return x, y
+
+        cv2.line(img, (0, int(self.height * 0.8)),
+                 (self.width, int(self.height * 0.8)), (0, 0, 0), 1)
+        for b in range(1, m.nbody):
+            p = int(m.body_parentid[b])
+            if p == 0:
+                continue
+            cv2.line(img, to_px(xpos[p]), to_px(xpos[b]), (40, 40, 200), 2)
+        cv2.circle(img, to_px(xpos[1]), 6, (200, 60, 40), -1)
+        return img
+
+    def close(self):
+        if self.backend == "mujoco":
+            self.renderer.close()
+
+
+def write_video(path, frames, fps: int = 30) -> str:
+    """MP4 via OpenCV (imageio has no ffmpeg backend in this image)."""
+    import cv2
+
+    path = str(path)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    h, w = frames[0].shape[:2]
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    for f in frames:
+        writer.write(cv2.cvtColor(np.asarray(f), cv2.COLOR_RGB2BGR))
+    writer.release()
+    return path
+
+
+def render_trajectory(
+    qpos_log: np.ndarray, path, ctrl_type: str = "torque", fps: int = 30,
+    width: int = 640, height: int = 480, every: int = 1,
+) -> str:
+    """qpos log (T, nq) -> MP4 at `path` (reference training_videos naming
+    is handled by the runner)."""
+    r = TrajectoryRenderer(ctrl_type, width, height)
+    frames = [r.frame(np.asarray(q)) for q in qpos_log[::every]]
+    r.close()
+    return write_video(path, frames, fps)
