@@ -14,6 +14,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+from quadruped_tpu.utils import cache as _cache
+_cache.enable()
+
 from quadruped_tpu.env.config import Go1Config
 from quadruped_tpu.env.go1 import Go1Env
 from quadruped_tpu.models.actor_critic import Policy

@@ -40,6 +40,10 @@ class Option:
     iterations: int = 10          # Newton iterations (warmstarted)
     ls_iterations: int = 8        # linesearch iterations
     tolerance: float = 1e-8
+    # matmul precision for the solver's J-sized contractions: 'high'
+    # (3-pass bf16, ~f32 accuracy) doubles speed vs 'highest' (6-pass);
+    # parity tests pin 'highest'
+    solver_precision: str = "high" 
 
 
 @dataclasses.dataclass(eq=False)  # identity hash: usable as a static jit arg

@@ -157,6 +157,11 @@ class Efc:
     con_fscale: jax.Array   # (ncon, 6) scaled force -> force
     con_dim_mask: jax.Array  # (ncon, 6) rows enabled by condim
     con_sel: jax.Array | None  # (ncon,) candidate index of each slot
+    con_Rn: jax.Array       # (ncon,) normal-row regularization
+    # compact contact row map (static): row r of the contact block is
+    # dimension row_dim[r] of contact row_con[r]; None = padded ncon*6 rows
+    row_con: tuple | None
+    row_dim: tuple | None
     nf: int
     nl: int
 
@@ -166,9 +171,9 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "J", "aref", "R", "D", "floss", "active", "con_active", "con_dist",
         "con_pos", "con_frame", "con_mu_tilde", "con_scale", "con_fscale",
-        "con_dim_mask", "con_sel",
+        "con_dim_mask", "con_sel", "con_Rn",
     ],
-    meta_fields=["nf", "nl"],
+    meta_fields=["row_con", "row_dim", "nf", "nl"],
 )
 
 
@@ -345,11 +350,26 @@ def assemble(
         axis=1,
     )
 
-    Js.append(Jc.reshape(ncon * 6, m.nv))
-    arefs.append(aref_con.reshape(-1))
-    Rs.append(Rcon.reshape(-1))
-    flosses.append(jnp.zeros(ncon * 6, dtype))
-    actives.append((con_active[:, None] & dim_mask).reshape(-1))
+    if sel is None:
+        # static candidate set: emit only condim_c rows per contact (compact
+        # row map) — nearly halves every J-sized matmul in the solver
+        cd = np.asarray(layout.con_condim)
+        row_con = tuple(int(c) for c in range(ncon) for _ in range(cd[c]))
+        row_dim = tuple(int(i) for c in range(ncon) for i in range(cd[c]))
+        rc = np.asarray(row_con)
+        rd = np.asarray(row_dim)
+        Js.append(Jc[rc, rd])
+        arefs.append(aref_con[rc, rd])
+        Rs.append(Rcon[rc, rd])
+        flosses.append(jnp.zeros(len(rc), dtype))
+        actives.append(con_active[rc])
+    else:
+        row_con = row_dim = None
+        Js.append(Jc.reshape(ncon * 6, m.nv))
+        arefs.append(aref_con.reshape(-1))
+        Rs.append(Rcon.reshape(-1))
+        flosses.append(jnp.zeros(ncon * 6, dtype))
+        actives.append((con_active[:, None] & dim_mask).reshape(-1))
 
     R_all = jnp.concatenate(Rs)
     return Efc(
@@ -368,6 +388,9 @@ def assemble(
         con_fscale=fscale,
         con_dim_mask=dim_mask,
         con_sel=sel,
+        con_Rn=R0,
+        row_con=row_con,
+        row_dim=row_dim,
         nf=nf,
         nl=nl,
     )

@@ -27,7 +27,73 @@ import jax.numpy as jnp
 from ..mjcf.model import PhysicsModel
 from .constraint import Efc
 
-_LS_ALPHAS = (1.0, 0.5, 0.25, 0.0625, 0.01)
+_LS_ALPHAS = (1.0, 0.5, 0.125, 0.02)
+
+
+def _expand_rows(efc: Efc, zrows: jax.Array, ncon: int) -> jax.Array:
+    """Compact contact rows -> padded (..., ncon, 6) (masked dims zero)."""
+    if efc.row_con is None:
+        return zrows.reshape(zrows.shape[:-1] + (ncon, 6))
+    rc = jnp.asarray(efc.row_con)
+    rd = jnp.asarray(efc.row_dim)
+    out = jnp.zeros(zrows.shape[:-1] + (ncon, 6), zrows.dtype)
+    return out.at[..., rc, rd].set(zrows)
+
+
+def _compact_rows(efc: Efc, padded: jax.Array, ncon: int) -> jax.Array:
+    """Padded (..., ncon, 6) -> compact contact rows."""
+    if efc.row_con is None:
+        return padded.reshape(padded.shape[:-2] + (ncon * 6,))
+    rc = jnp.asarray(efc.row_con)
+    rd = jnp.asarray(efc.row_dim)
+    return padded[..., rc, rd]
+
+
+
+def _penalty_S(efc: Efc, z: jax.Array) -> jax.Array:
+    """Total penalty S(z) only — the lean line-search evaluator.
+
+    No forces, no Hessian, no scatter writes; broadcasts over leading axes
+    of z so all line-search candidates evaluate in one fused pass."""
+    dtype = z.dtype
+    nf, nl = efc.nf, efc.nl
+    ncon = efc.con_dist.shape[0]
+    S = jnp.zeros(z.shape[:-1], dtype)
+
+    if nf:
+        zf = z[..., :nf]
+        D, R, fl = efc.D[:nf], efc.R[:nf], efc.floss[:nf]
+        quad = jnp.abs(D * zf) <= fl
+        S = S + jnp.sum(
+            jnp.where(quad, 0.5 * D * zf * zf,
+                      fl * jnp.abs(zf) - 0.5 * fl * fl * R),
+            axis=-1,
+        )
+    if nl:
+        sl = slice(nf, nf + nl)
+        zl = z[..., sl]
+        D = efc.D[sl]
+        act = efc.active[sl] & (zl < 0)
+        S = S + jnp.sum(jnp.where(act, 0.5 * D * zl * zl, 0.0), axis=-1)
+    if ncon:
+        zc = _expand_rows(efc, z[..., nf + nl :], ncon)
+        Rn = efc.con_Rn
+        mask = efc.con_dim_mask.astype(dtype) * efc.con_active[:, None].astype(dtype)
+        u = -(zc * efc.con_scale * mask) / Rn[:, None]
+        u0 = u[..., 0]
+        tt = jnp.sum(u[..., 1:] * u[..., 1:], axis=-1)
+        t = jnp.sqrt(tt + 1e-30)
+        mu = efc.con_mu_tilde
+        bottom = t <= mu * u0
+        top = mu * t <= -u0
+        usq = u0 * u0 + tt
+        alpha = (u0 + mu * t) / (1.0 + mu * mu)
+        # |u - Pu|^2: 0 in bottom; |u|^2 in top; middle: dist to cone
+        mid_d2 = usq - alpha * alpha * (1.0 + mu * mu)
+        d2 = jnp.where(bottom, 0.0, jnp.where(top, usq, mid_d2))
+        s_con = 0.5 * Rn * (usq - d2)
+        S = S + jnp.sum(s_con * efc.con_active.astype(dtype), axis=-1)
+    return S
 
 
 def _penalty(efc: Efc, z: jax.Array, want_hess: bool = False):
@@ -72,8 +138,8 @@ def _penalty(efc: Efc, z: jax.Array, want_hess: bool = False):
 
     # ---- elliptic contact blocks ----------------------------------------------
     if ncon:
-        zc = z[..., nf + nl :].reshape(z.shape[:-1] + (ncon, 6))
-        Rn = efc.R[nf + nl :].reshape(ncon, 6)[:, 0]
+        zc = _expand_rows(efc, z[..., nf + nl :], ncon)
+        Rn = efc.con_Rn
         mask = efc.con_dim_mask.astype(dtype) * efc.con_active[:, None].astype(dtype)
         zeta = zc * efc.con_scale * mask
         u = -zeta / Rn[:, None]
@@ -101,9 +167,7 @@ def _penalty(efc: Efc, z: jax.Array, want_hess: bool = False):
         S = S + jnp.sum(s_con * efc.con_active.astype(dtype), axis=-1)
 
         f_con = phi * efc.con_fscale * mask
-        f = f.at[..., nf + nl :].set(
-            f_con.reshape(z.shape[:-1] + (ncon * 6,))
-        )
+        f = f.at[..., nf + nl :].set(_compact_rows(efc, f_con, ncon))
 
         if want_hess:
             # exact Hessian of sigma wrt z per contact: B = S dP/du S / Rn
@@ -143,40 +207,62 @@ def solve(
     dtype = qacc_smooth.dtype
     nv = qacc_smooth.shape[0]
     iters = iterations if iterations is not None else m.opt.iterations
+    prec = jax.lax.Precision(
+        {"default": "default", "high": "high", "highest": "highest"}[
+            m.opt.solver_precision
+        ]
+    )
     a0 = qacc_smooth if warmstart is None else warmstart
     eye = jnp.eye(nv, dtype=dtype) * 1e-10
 
     ncon = efc.con_dist.shape[0]
     nfl = efc.nf + efc.nl
-    Jc = efc.J[nfl:].reshape(ncon, 6, nv) if ncon else None
+    if ncon:
+        if efc.row_con is None:
+            Jc = efc.J[nfl:].reshape(ncon, 6, nv)
+        else:
+            rc = jnp.asarray(efc.row_con)
+            rd = jnp.asarray(efc.row_dim)
+            Jc = jnp.zeros((ncon, 6, nv), dtype).at[rc, rd].set(efc.J[nfl:])
+    else:
+        Jc = None
 
     def body(_, a):
-        z = efc.J @ a - efc.aref
+        z = jnp.einsum("ei,i->e", efc.J, a, precision=prec) - efc.aref
         f, S, w, B = _penalty(efc, z, want_hess=True)
-        grad = M @ (a - qacc_smooth) - efc.J.T @ f
-        H = M + (efc.J.T * w[None, :]) @ efc.J + eye
+        grad = M @ (a - qacc_smooth) - jnp.einsum(
+            "ei,e->i", efc.J, f, precision=prec
+        )
+        H = M + jnp.einsum(
+            "ei,e,ej->ij", efc.J, w, efc.J, precision=prec
+        ) + eye
         if ncon:
-            H = H + jnp.einsum("cia,cij,cjb->ab", Jc, B, Jc)
+            H = H + jnp.einsum(
+                "cia,cij,cjb->ab", Jc, B, Jc, precision=prec
+            )
         L = jnp.linalg.cholesky(H)
         delta = -jax.scipy.linalg.cho_solve((L, True), grad)
 
-        Jd = efc.J @ delta
+        Jd = jnp.einsum("ei,i->e", efc.J, delta, precision=prec)
         Md = M @ delta
         qa = 0.5 * jnp.dot(delta, Md)
         qb = jnp.dot(delta, M @ (a - qacc_smooth))
 
-        # evaluate all line-search candidates in one batched penalty call
+        # evaluate all line-search candidates in one lean batched pass
         alphas = jnp.asarray(_LS_ALPHAS + (0.0,), dtype)
         z_cand = z[None, :] + alphas[:, None] * Jd[None, :]
-        _, S_cand, _, _ = _penalty(efc, z_cand)
+        S_cand = _penalty_S(efc, z_cand)
         phis = alphas * qb + alphas * alphas * qa + S_cand
         best = jnp.argmin(phis)
         return a + alphas[best] * delta
 
-    a = jax.lax.fori_loop(0, iters, body, a0)
-    z = efc.J @ a - efc.aref
+    # unrolled python loop: lets XLA software-pipeline across iterations
+    # (fori_loop serializes on this platform)
+    a = a0
+    for _i in range(iters):
+        a = body(_i, a)
+    z = jnp.einsum("ei,i->e", efc.J, a, precision=prec) - efc.aref
     f, _, _, _ = _penalty(efc, z)
-    qfrc_constraint = efc.J.T @ f
-    ncon = efc.con_dist.shape[0]
-    con_force = f[efc.nf + efc.nl :].reshape(ncon, 6)
+    qfrc_constraint = jnp.einsum("ei,e->i", efc.J, f, precision=prec)
+    con_force = _expand_rows(efc, f[nfl:], ncon)
     return a, qfrc_constraint, con_force

@@ -22,6 +22,7 @@ from quadruped_tpu.physics.forward import Pipeline, forward, step
 def setup():
     m = go1_model("torque")
     m.opt.iterations = 40  # tight parity; training default is looser
+    m.opt.solver_precision = "highest"
     pl = Pipeline.build(m, "plane")
     mj = mujoco.MjModel.from_xml_string(go1_xml("torque"))
     return m, pl, mj
@@ -75,9 +76,16 @@ def test_efc_rows_match_oracle(setup):
 
         nf, nl = efc.nf, efc.nl
         ncon = pl.layout.ncon
-        conJ = np.asarray(efc.J[nf + nl :]).reshape(ncon, 6, mj.nv)
-        conR = np.asarray(efc.R[nf + nl :]).reshape(ncon, 6)
-        conA = np.asarray(efc.aref[nf + nl :]).reshape(ncon, 6)
+
+        def expand(rows):
+            rows = np.asarray(rows)
+            out = np.zeros((ncon, 6) + rows.shape[1:], rows.dtype)
+            out[np.asarray(efc.row_con), np.asarray(efc.row_dim)] = rows
+            return out
+
+        conJ = expand(efc.J[nf + nl :])
+        conR = expand(efc.R[nf + nl :])
+        conA = expand(efc.aref[nf + nl :])
         act = np.asarray(efc.con_active)
         pos = np.asarray(efc.con_pos)
         Jmj = d.efc_J.reshape(d.nefc, mj.nv)

@@ -1,0 +1,152 @@
+"""PPO / GAE / checkpoint / parallel tests (CPU, 8 virtual devices)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadruped_tpu.env.config import Go1Config
+from quadruped_tpu.env.go1 import Go1Env
+from quadruped_tpu.learn.ppo import PPO, PPOConfig, Transition
+from quadruped_tpu.models.actor_critic import Policy
+
+
+@pytest.fixture(scope="module")
+def env():
+    return Go1Env(Go1Config(ctrl_type="torque"))
+
+
+@pytest.fixture(scope="module")
+def trainer(env):
+    cfg = PPOConfig(num_envs=8, n_steps=4, num_minibatches=2, n_epochs=2)
+    return PPO(env, cfg)
+
+
+def test_policy_matches_sb3_architecture():
+    """2x64 tanh actor+critic, state-independent log_std=0 (SB3 MlpPolicy
+    defaults used by the reference, SURVEY.md C14)."""
+    policy = Policy.make()
+    v = policy.init(jax.random.PRNGKey(0))
+    p = v["params"]
+    assert p["actor"]["Dense_0"]["kernel"].shape == (48, 64)
+    assert p["actor"]["Dense_1"]["kernel"].shape == (64, 64)
+    assert p["actor"]["Dense_2"]["kernel"].shape == (64, 12)
+    assert p["critic"]["Dense_2"]["kernel"].shape == (64, 1)
+    np.testing.assert_array_equal(p["log_std"], np.zeros(12))
+    mean, log_std, value = policy.apply(v, jnp.zeros((3, 48)))
+    assert mean.shape == (3, 12) and value.shape == (3,)
+
+
+def test_log_prob_matches_gaussian():
+    rng = np.random.default_rng(0)
+    mean = rng.normal(size=(5, 12))
+    log_std = rng.normal(size=12) * 0.1
+    action = rng.normal(size=(5, 12))
+    lp = Policy.log_prob(jnp.asarray(mean), jnp.asarray(log_std), jnp.asarray(action))
+    from scipy.stats import norm
+
+    ref = norm.logpdf(action, mean, np.exp(log_std)).sum(-1)
+    np.testing.assert_allclose(lp, ref, rtol=1e-6)
+
+
+def test_gae_matches_reference_impl(trainer):
+    """GAE vs a plain numpy implementation incl. termination/truncation."""
+    T, B = 6, 3
+    rng = np.random.default_rng(1)
+    reward = rng.normal(size=(T, B)).astype(np.float32)
+    value = rng.normal(size=(T, B)).astype(np.float32)
+    term = np.zeros((T, B), bool)
+    trunc = np.zeros((T, B), bool)
+    term[2, 0] = True
+    trunc[4, 1] = True
+    done = term | trunc
+    boot = rng.normal(size=(T, B)).astype(np.float32)
+    boot = np.where(term, 0.0, boot)
+    last_value = rng.normal(size=B).astype(np.float32)
+
+    traj = Transition(
+        obs=None, action=None, log_prob=None,
+        value=jnp.asarray(value), reward=jnp.asarray(reward),
+        terminated=jnp.asarray(term), done=jnp.asarray(done),
+        bootstrap_value=jnp.asarray(boot), info=None,
+    )
+    adv, ret = trainer.gae(traj, jnp.asarray(last_value))
+
+    g, lam = trainer.cfg.gamma, trainer.cfg.gae_lambda
+    adv_ref = np.zeros((T, B))
+    gae_next = np.zeros(B)
+    value_next = last_value.copy()
+    for t in reversed(range(T)):
+        v_next = np.where(done[t], boot[t], value_next)
+        nonterm = 1.0 - done[t]
+        delta = reward[t] + g * v_next - value[t]
+        gae_next = delta + g * lam * nonterm * gae_next
+        adv_ref[t] = gae_next
+        value_next = value[t]
+    np.testing.assert_allclose(adv, adv_ref, rtol=1e-5)
+    np.testing.assert_allclose(ret, adv_ref + value, rtol=1e-5)
+
+
+def test_train_iteration_runs_and_updates(trainer):
+    ts = trainer.init(jax.random.PRNGKey(0))
+    p0 = jax.tree.map(np.asarray, ts.params)
+    ts, metrics = trainer.train_iteration(ts)
+    assert int(ts.global_step) == trainer.cfg.num_envs * trainer.cfg.n_steps
+    # parameters changed
+    changed = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), ts.params, p0
+    )
+    assert max(jax.tree.leaves(changed)) > 0
+    for k in ("loss", "pg_loss", "v_loss", "entropy", "approx_kl"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_checkpoint_roundtrip(tmp_path, trainer):
+    from quadruped_tpu import checkpoint as ckpt
+
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, _ = trainer.train_iteration(ts)
+    ckpt.save_train_state(tmp_path / "c1", ts, {"note": "test"})
+    ts2 = trainer.init(jax.random.PRNGKey(42))
+    ts2, meta = ckpt.load_train_state(tmp_path / "c1", ts2)
+    assert meta["note"] == "test"
+    assert int(ts2.global_step) == int(ts.global_step)
+    for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts2.params)):
+        np.testing.assert_array_equal(a, b)
+    # policy-only save/load (best_model equivalent)
+    ckpt.save_policy(tmp_path / "best", ts.params, {"mean_reward": 1.0})
+    params, meta = ckpt.load_policy(tmp_path / "best", ts.params)
+    assert meta["mean_reward"] == 1.0
+
+
+def test_training_history_roundtrip(tmp_path):
+    from quadruped_tpu.checkpoint import TrainingHistory
+
+    h = TrainingHistory()
+    assert h.append(1000, 5.0, 100, False)       # new best
+    assert not h.append(2000, 4.0, 120, True)    # not best
+    assert h.append(3000, 6.0, 150, False)
+    h.save(tmp_path / "hist.json")
+    h2 = TrainingHistory.load(tmp_path / "hist.json")
+    assert h2.best_reward == 6.0
+    assert h2.series["timesteps"] == [1000, 2000, 3000]
+    assert h2.series["successes"] == [False, True, False]
+
+
+def test_multichip_dryrun():
+    """The driver's dryrun contract on the 8-device CPU mesh."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    state, obs, reward = out
+    assert obs.shape == (32, 48)
+    assert np.isfinite(np.asarray(reward)).all()
