@@ -340,15 +340,12 @@ def assemble(
     aref_con = -B[:, None] * vel - (Kstiff * d_imp)[:, None] * pos6
 
     dim_mask = jnp.arange(6)[None, :] < condim[:, None]     # (ncon, 6)
-    mu_tilde = mu1 / np.sqrt(impratio)
+    sqrt_ir = float(np.sqrt(impratio))
+    mu_tilde = (mu1 / sqrt_ir).astype(dtype)
     scale = jnp.concatenate(
-        [jnp.ones((ncon, 1), dtype), (mu / mu1[:, None]) * np.sqrt(impratio)],
-        axis=1,
-    )
-    fscale = jnp.concatenate(
-        [jnp.ones((ncon, 1), dtype), (mu / mu1[:, None]) * np.sqrt(impratio)],
-        axis=1,
-    )
+        [jnp.ones((ncon, 1), dtype), (mu / mu1[:, None]) * sqrt_ir], axis=1
+    ).astype(dtype)
+    fscale = scale
 
     if sel is None:
         # static candidate set: emit only condim_c rows per contact (compact
