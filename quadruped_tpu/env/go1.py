@@ -66,6 +66,8 @@ class EnvState:
     last_feet_forces: jax.Array     # (4,) cfrc norms from previous step
     rand_power: jax.Array           # curriculum reset-noise scale (C8)
     qacc_warm: jax.Array            # (nv,) solver warmstart (qacc_warmstart)
+    action_buf: jax.Array           # (max_latency+1, 12) actuator-latency DR
+    latency: jax.Array              # i32 per-episode action delay in steps
 
 
 class Go1Env:
@@ -199,8 +201,15 @@ class Go1Env:
             jnp.asarray(cfg.desired_vel_max, dtype),
         )
 
+        k_dr, k_lat = jax.random.split(k_dr)
         if cfg.dr.enabled:
             params = self._randomize(params, k_dr)
+        if cfg.dr.enabled and cfg.dr.max_latency_steps > 0:
+            latency = jax.random.randint(
+                k_lat, (), 0, cfg.dr.max_latency_steps + 1
+            )
+        else:
+            latency = jnp.zeros((), jnp.int32)
 
         return EnvState(
             qpos=qpos,
@@ -218,6 +227,10 @@ class Go1Env:
             last_feet_forces=jnp.zeros(4, dtype),
             rand_power=rp,
             qacc_warm=jnp.zeros(self.m.nv, dtype),
+            action_buf=jnp.zeros(
+                (self.cfg.dr.max_latency_steps + 1, 12), dtype
+            ),
+            latency=latency.astype(jnp.int32),
         )
 
     def _randomize(self, params, rng):
@@ -320,9 +333,19 @@ class Go1Env:
                 state.last_feet_forces[:2] > 1.0
             )
 
+        # actuator-latency DR: the physics sees the action from `latency`
+        # control steps ago (BASELINE.json config 3); latency 0 = passthrough
+        if cfg.dr.max_latency_steps > 0:
+            action_buf = jnp.roll(state.action_buf, 1, axis=0)
+            action_buf = action_buf.at[0].set(action.astype(dtype))
+            applied = action_buf[state.latency]
+        else:
+            action_buf = state.action_buf
+            applied = action.astype(dtype)
+
         qpos, qvel, data = step_n(
             self.pipeline, state.params, state.qpos, state.qvel,
-            action.astype(dtype), cfg.frame_skip, warmstart=state.qacc_warm,
+            applied, cfg.frame_skip, warmstart=state.qacc_warm,
         )
 
         healthy, reason = self._health(qpos, qvel)
@@ -368,6 +391,7 @@ class Go1Env:
             front_feet_touched=front_touched,
             last_feet_forces=feet_forces,
             qacc_warm=data.qacc,
+            action_buf=action_buf,
         )
         # NOTE: obs uses the PREVIOUS action (reference quirk, see module
         # docstring) — so it is computed with state.last_action, not action

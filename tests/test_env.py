@@ -276,3 +276,32 @@ def test_vmap_batch_step(env):
     states, obs, r, term, trunc, info = stepv(states, actions)
     assert obs.shape == (8, 48)
     assert r.shape == (8,)
+
+
+def test_actuator_latency_dr():
+    """With max_latency_steps, the physics sees delayed actions."""
+    import dataclasses
+    from quadruped_tpu.env.config import DomainRandomization
+
+    cfg = Go1Config(
+        ctrl_type="torque",
+        dr=DomainRandomization(enabled=True, max_latency_steps=2,
+                               friction_range=(1.0, 1.0),
+                               mass_range=(1.0, 1.0), kp_range=(1.0, 1.0),
+                               damping_range=(1.0, 1.0)),
+    )
+    env = Go1Env(cfg)
+    s0 = env.reset(jax.random.PRNGKey(0))
+    s_lat = dataclasses.replace(s0, latency=jnp.asarray(2, jnp.int32))
+    s_now = dataclasses.replace(s0, latency=jnp.asarray(0, jnp.int32))
+    stepj = jax.jit(lambda s, a: env.step(s, a))
+    big = jnp.ones(12)
+    # latency 2: the first big action must have no effect for 2 steps
+    a_lat, _, _, _, _, _ = stepj(s_lat, big)
+    a_now, _, _, _, _, _ = stepj(s_now, big)
+    assert not np.allclose(np.asarray(a_lat.qpos), np.asarray(a_now.qpos))
+    # after the same action 3x, both see `big` and should evolve identically
+    for _ in range(3):
+        s_lat, *_ = stepj(s_lat, big)
+        s_now2, *_ = stepj(s_now, big)
+        s_now = s_now2
