@@ -38,23 +38,21 @@ def probe(counts, steps: int = 20, ctrl_type: str = "torque"):
             keys = jax.random.split(jax.random.PRNGKey(1), n)
             t0 = time.perf_counter()
             state = jax.jit(jax.vmap(env.reset))(keys)
-            state = jax.tree.map(
-                lambda x: x.astype(jnp.float32)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x,
-                state,
-            )
-            obs = jax.jit(jax.vmap(env.obs))(state).astype(jnp.float32)
+            obs = jax.jit(jax.vmap(env.obs))(state)
 
             @jax.jit
             def rollout(variables, state, obs, rng, T=steps):
                 def body(carry, _):
                     state, obs, rng = carry
                     rng, k = jax.random.split(rng)
-                    action, _, _, _ = policy.sample(variables, obs, k)
+                    # policy params are f32; env dtype may be f64 under x64
+                    action, _, _, _ = policy.sample(
+                        variables, obs.astype(jnp.float32), k
+                    )
                     state, obs, reward, *_ = jax.vmap(env.step_autoreset)(
                         state, action
                     )
-                    return (state, obs.astype(jnp.float32), rng), reward
+                    return (state, obs, rng), reward
 
                 carry, rewards = jax.lax.scan(
                     body, (state, obs, rng), None, length=T
@@ -81,6 +79,10 @@ def probe(counts, steps: int = 20, ctrl_type: str = "torque"):
             print(f"envs {n:>6}: {sps:>12,.0f} steps/s   "
                   f"compile {compile_time:5.1f}s   HBM {memtxt}")
         except Exception as e:
+            if not results:
+                # first count failing is a bug, not a capacity limit —
+                # surface it instead of returning an empty probe
+                raise
             print(f"envs {n:>6}: FAILED ({type(e).__name__}: {e})")
             break
     if results:

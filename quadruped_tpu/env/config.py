@@ -77,7 +77,12 @@ class Go1Config:
     ctrl_type: str = "torque"                # scene_{ctrl_type}.xml selection
     biped: bool = False
     rand_power: float = 0.0                  # reset joint-noise scale
-    collision_mode: str = "plane"            # "plane" | "full" (biped)
+    # "full" (default) includes robot self-collision pairs — the reference
+    # model allows them (contype/conaffinity 1 on all geoms) and both the
+    # dynamics and the collision/unwanted-contact costs observe them;
+    # "plane" restricts to geom-vs-floor for speed experiments.
+    collision_mode: str = "full"
+    max_contacts: int = 128                  # top-K solver slots (full mode)
 
     frame_skip: int = 10                     # go1_mujoco_env.py:49
     max_episode_time: float = 120.0          # go1_mujoco_env.py:64

@@ -85,7 +85,10 @@ class Go1Env:
         mode = cfg.collision_mode
         if cfg.biped and mode == "plane":
             mode = "full"  # self-collision costs need self pairs
-        self.pipeline = Pipeline.build(self.m, mode)
+        self.pipeline = Pipeline.build(
+            self.m, mode,
+            max_contacts=cfg.max_contacts if mode == "full" else None,
+        )
 
         m = self.m
         assert m.body_names[TRUNK] == "trunk"

@@ -16,10 +16,9 @@ solref/solimp = solmix-weighted mean, margin/gap = sum (oracle-verified).
 Replaces MuJoCo's broadphase + narrowphase (reference dependency C13:
 soft foot contacts solimp="0.015 1 0.031" condim=6, go1_torque.xml:63-67).
 
-Known deviation: plane-cylinder uses 4 rim-point candidates instead of
-MuJoCo's disc algorithm, and cylinders act as capsules against non-plane
-geoms (affects rare fallen-on-hip states; feet/calves/thighs/trunk-box
-contacts — everything the rewards read — use exact narrowphase).
+Known deviation: cylinders act as capsules against non-plane geoms
+(self-collision pairs in biped mode only; all plane contacts — everything
+the rewards read on flat terrain — use exact MuJoCo narrowphase).
 """
 
 from __future__ import annotations
@@ -136,7 +135,10 @@ _CAND_PER_KIND = {
     "plane_box": 8,
     "sphere_sphere": 1,
     "sphere_capsule": 1,
+    "sphere_cylinder": 1,
     "capsule_capsule": 1,
+    "capsule_cylinder": 1,
+    "cylinder_cylinder": 1,
     "sphere_box": 1,
     "capsule_box": 2,
 }
@@ -175,22 +177,35 @@ def build_table(m: PhysicsModel, mode: str = "plane") -> CollisionTable:
             add(f"plane_{tname}", p, g)
 
     if mode == "full":
-        order = {GEOM_SPHERE: 0, GEOM_CAPSULE: 1, GEOM_CYLINDER: 1, GEOM_BOX: 2}
-        for i, g1 in enumerate(others):
-            for g2 in others[i + 1 :]:
-                if not _collide_mask(m, g1, g2):
+        order = {
+            GEOM_SPHERE: 0, GEOM_CAPSULE: 1, GEOM_CYLINDER: 2, GEOM_BOX: 3,
+        }
+        for i, ga in enumerate(others):
+            for gb in others[i + 1 :]:
+                if not _collide_mask(m, ga, gb):
                     continue
-                t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
-                # cylinders approximated as capsules vs non-planes
-                t1 = GEOM_CAPSULE if t1 == GEOM_CYLINDER else t1
-                t2 = GEOM_CAPSULE if t2 == GEOM_CYLINDER else t2
+                p1, p2 = ga, gb
+                t1, t2 = int(m.geom_type[p1]), int(m.geom_type[p2])
                 if order[t1] > order[t2]:
-                    g1, g2, t1, t2 = g2, g1, t2, t1
-                n1, n2 = kind_of(t1, t2)
-                kind = f"{n1}_{n2}"
+                    p1, p2, t1, t2 = p2, p1, t2, t1
+                if t1 == GEOM_SPHERE and t2 == GEOM_CYLINDER:
+                    kind = "sphere_cylinder"  # exact narrowphase
+                elif t1 == GEOM_CAPSULE and t2 == GEOM_CYLINDER:
+                    kind = "capsule_cylinder"  # separation-exact hybrid
+                elif t1 == GEOM_CYLINDER and t2 == GEOM_CYLINDER:
+                    kind = "cylinder_cylinder"
+                else:
+                    # remaining cylinder pairs approximated as capsules
+                    # (MuJoCo uses MPR there; documented deviation)
+                    u1 = GEOM_CAPSULE if t1 == GEOM_CYLINDER else t1
+                    u2 = GEOM_CAPSULE if t2 == GEOM_CYLINDER else t2
+                    if order[u1] > order[u2]:
+                        p1, p2, u1, u2 = p2, p1, u2, u1
+                    n1, n2 = kind_of(u1, u2)
+                    kind = f"{n1}_{n2}"
                 if kind == "box_box":
                     continue  # no box-box pairs on the Go1
-                add(kind, g1, g2)
+                add(kind, p1, p2)
 
     groups = []
     for kind, pairs in sorted(buckets.items()):
@@ -243,21 +258,43 @@ def _plane_capsule(n, ppos, xpos, xmat, r, half):
 
 
 def _plane_cylinder(n, ppos, xpos, xmat, r, half):
-    """4 rim candidates: lowest rim point of each end disc, plus the two
-    opposite rim points (covers both side-lying and flat-disc states)."""
+    """MuJoCo-exact plane-cylinder: 4 candidates — the deepest rim point of
+    the near end disc, the matching rim point of the far disc, and the two
+    near-disc rim points rotated +-120 deg about the axis.  Each candidate
+    is gated downstream on its own dist < includemargin, reproducing
+    MuJoCo's per-point margin checks (empirically verified against
+    mj_collision over tilt/parallel/side-lying/deep-penetration states)."""
     axis = xmat[..., :, 2]
-    # in-disc direction toward the plane
-    d = -(n - axis * jnp.sum(n * axis, axis=-1, keepdims=True))
+    prj = jnp.sum(n * axis, axis=-1, keepdims=True)
+    # axis points toward the plane (flip if its normal projection positive).
+    # Snap near-zero projections to exactly zero first: a side-lying
+    # cylinder whose axis is exactly in the plane (common in the
+    # fallen-start reset, where the fall rotation is about the hip axes)
+    # makes the near/far disc choice a rounding coin-flip; MuJoCo's own
+    # prjaxis is an exact +-0.0 there and it does NOT flip.
+    prj = jnp.where(jnp.abs(prj) < 1e-6, 0.0, prj)
+    flip = prj > 0
+    axis = jnp.where(flip, -axis, axis)
+    prj = jnp.where(flip, -prj, prj)
+    # vec: in-disc direction of steepest descent toward the plane, radius r
+    d = axis * prj - n
     dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
-    safe = dn > 1e-8
-    # fallback when disc is parallel to plane: any radial direction
-    d = jnp.where(safe, d / jnp.maximum(dn, 1e-12), xmat[..., :, 0])
+    parallel = dn < 1e-10
+    d = jnp.where(parallel, xmat[..., :, 0], d / jnp.maximum(dn, 1e-12))
+    vec = r[..., None] * d
+    # rim points rotated +-120 deg about the (unit, flipped) axis:
+    # R(+-120) vec = -vec/2 +- (sqrt(3)/2) axis x vec   (axis . vec = 0)
+    axv = jnp.cross(axis, vec)
+    s3 = jnp.sqrt(jnp.asarray(3.0, vec.dtype)) * 0.5
+    vec_p = -0.5 * vec + s3 * axv
+    vec_m = -0.5 * vec - s3 * axv
+    ax_h = half[..., None] * axis
     pts = jnp.stack(
         [
-            xpos + half[..., None] * axis + r[..., None] * d,
-            xpos - half[..., None] * axis + r[..., None] * d,
-            xpos + half[..., None] * axis - r[..., None] * d,
-            xpos - half[..., None] * axis - r[..., None] * d,
+            xpos + ax_h + vec,      # near-disc deepest rim point
+            xpos - ax_h + vec,      # far-disc rim point (side-lying)
+            xpos + ax_h + vec_p,    # near-disc rim, +120 deg
+            xpos + ax_h + vec_m,    # near-disc rim, -120 deg
         ],
         axis=-2,
     )
@@ -268,15 +305,30 @@ def _plane_cylinder(n, ppos, xpos, xmat, r, half):
 
 
 def _plane_box(n, ppos, xpos, xmat, size):
+    """MuJoCo-exact plane-box: 8 corner candidates in MuJoCo's enumeration
+    order (x sign fastest, starting all-negative), but a corner is a contact
+    only if it lies on the lower half of the box along the plane normal
+    (ldist <= 0) and at most 4 corners are emitted — replicated here by
+    poisoning the distance of excluded corners (empirically verified against
+    mj_collision incl. deep-penetration states where MuJoCo caps at 4)."""
     corners = jnp.asarray(
-        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        [
+            [(-1, 1)[(i >> 0) & 1], (-1, 1)[(i >> 1) & 1], (-1, 1)[(i >> 2) & 1]]
+            for i in range(8)
+        ],
         dtype=xpos.dtype,
-    )  # (8, 3)
-    pts = xpos[..., None, :] + jnp.einsum(
-        "...ij,...cj->...ci", xmat, corners * size[..., None, :]
-    )
+    )  # (8, 3), MuJoCo corner order
+    rel = jnp.einsum("...ij,...cj->...ci", xmat, corners * size[..., None, :])
+    pts = xpos[..., None, :] + rel
+    ldist = jnp.sum(n[..., None, :] * rel, axis=-1)
     dist = jnp.sum(n[..., None, :] * (pts - ppos[..., None, :]), axis=-1)
+    lower = ldist <= 0
+    # first 4 lower-half corners in enumeration order (ties at ldist==0)
+    rank = jnp.cumsum(lower.astype(jnp.int32), axis=-1) - 1
+    keep = lower & (rank < 4)
+    dist = jnp.where(keep, dist, jnp.asarray(1e10, dist.dtype))
     pos = pts - n[..., None, :] * (0.5 * dist)[..., None]
+    pos = jnp.where(keep[..., None], pos, pts)
     normal = jnp.broadcast_to(n[..., None, :], pos.shape)
     return dist, pos, normal
 
@@ -323,10 +375,115 @@ def _capsule_capsule(p1, m1, r1, h1, p2, m2, r2, h2):
     return _sphere_sphere(q1, r1, q2, r2)
 
 
+def _proj_solid_cylinder(x, cpos, cmat, r, h):
+    """Euclidean projection of point x onto a solid cylinder (identity for
+    interior points)."""
+    axis = cmat[..., :, 2]
+    rel = x - cpos
+    z = jnp.sum(rel * axis, axis=-1)
+    rad = rel - z[..., None] * axis
+    rho = jnp.linalg.norm(rad, axis=-1)
+    zc = jnp.clip(z, -h, h)
+    raddir = rad / jnp.maximum(rho, 1e-12)[..., None]
+    rhoc = jnp.minimum(rho, r)
+    return cpos + zc[..., None] * axis + rhoc[..., None] * raddir
+
+
+def _proj_solid_capsule(x, cpos, cmat, r, h):
+    s = _closest_on_segment(cpos, cmat[..., :, 2], h, x)
+    d = x - s
+    dn = jnp.linalg.norm(d, axis=-1)
+    outside = dn > r
+    surf = s + d * (r / jnp.maximum(dn, 1e-12))[..., None]
+    return jnp.where(outside[..., None], surf, x)
+
+
+def _cylinder_hybrid(p1, m1, r1, h1, p2, m2, r2, h2, proj1, proj2):
+    """Cylinder-involved pair: capsule-capsule base contact for penetration
+    (MuJoCo uses MPR there — documented approximation), refined by
+    alternating projections between the true solids so that SEPARATION is
+    exact: the phantom hemisphere of the capsule approximation cannot
+    produce false contacts."""
+    d0, pos0, n0 = _capsule_capsule(p1, m1, r1, h1, p2, m2, r2, h2)
+    q = p1  # start at geom1 center
+    for _ in range(10):
+        q2 = proj2(q)
+        q = proj1(q2)
+    gap_vec = q2 - q
+    gap = jnp.linalg.norm(gap_vec, axis=-1)
+    separated = gap > 1e-7
+    n = jnp.where(
+        separated[..., None],
+        gap_vec / jnp.maximum(gap, 1e-12)[..., None],
+        n0[..., 0, :],
+    )
+    pos = jnp.where(separated[..., None], 0.5 * (q + q2), pos0[..., 0, :])
+    dist = jnp.where(separated, gap, d0[..., 0])
+    return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _capsule_cylinder(p1, m1, r1, h1, p2, m2, r2, h2):
+    return _cylinder_hybrid(
+        p1, m1, r1, h1, p2, m2, r2, h2,
+        proj1=lambda x: _proj_solid_capsule(x, p1, m1, r1, h1),
+        proj2=lambda x: _proj_solid_cylinder(x, p2, m2, r2, h2),
+    )
+
+
+def _cylinder_cylinder(p1, m1, r1, h1, p2, m2, r2, h2):
+    return _cylinder_hybrid(
+        p1, m1, r1, h1, p2, m2, r2, h2,
+        proj1=lambda x: _proj_solid_cylinder(x, p1, m1, r1, h1),
+        proj2=lambda x: _proj_solid_cylinder(x, p2, m2, r2, h2),
+    )
+
+
 def _closest_on_box(bpos, bmat, size, p):
     local = jnp.einsum("...ji,...j->...i", bmat, p - bpos)
     clamped = jnp.clip(local, -size, size)
     return bpos + jnp.einsum("...ij,...j->...i", bmat, clamped)
+
+
+def _sphere_cylinder(pc, rs, cpos, cmat, rc, half):
+    """MuJoCo-exact sphere vs solid cylinder (closest point on the solid;
+    minimal-penetration face when the sphere center is inside; empirically
+    verified against mj_collision on side/cap/rim/interior states)."""
+    axis = cmat[..., :, 2]
+    rel = pc - cpos
+    z = jnp.sum(rel * axis, axis=-1)
+    radial = rel - z[..., None] * axis
+    rho = jnp.linalg.norm(radial, axis=-1)
+    # degenerate on-axis fallback matches MuJoCo's choice (-x of the
+    # cylinder frame, so the inside normal comes out +x)
+    rad_dir = jnp.where(
+        (rho > 1e-12)[..., None],
+        radial / jnp.maximum(rho, 1e-12)[..., None],
+        -cmat[..., :, 0],
+    )
+    inside = (jnp.abs(z) < half) & (rho < rc)
+
+    # outside: closest point on the solid cylinder
+    zc = jnp.clip(z, -half, half)
+    q = cpos + zc[..., None] * axis + jnp.minimum(rho, rc)[..., None] * rad_dir
+    dvec = q - pc
+    dn = jnp.linalg.norm(dvec, axis=-1)
+    dist_out = dn - rs
+    n_out = dvec / jnp.maximum(dn, 1e-12)[..., None]
+
+    # inside: exit through the least-penetrated face
+    d_side = rho - rc
+    d_cap = jnp.abs(z) - half
+    side_closer = d_side >= d_cap
+    sign_z = jnp.where(z >= 0, 1.0, -1.0)
+    n_in = jnp.where(
+        side_closer[..., None], -rad_dir, -sign_z[..., None] * axis
+    )
+    dist_in = jnp.maximum(d_side, d_cap) - rs
+
+    dist = jnp.where(inside, dist_in, dist_out)
+    n = jnp.where(inside[..., None], n_in, n_out)
+    pos = pc + n * (rs + 0.5 * dist)[..., None]
+    return dist[..., None], pos[..., None, :], n[..., None, :]
 
 
 def _sphere_box(pc, r, bpos, bmat, size):
@@ -392,8 +549,19 @@ def narrowphase(m: PhysicsModel, table: CollisionTable, kin):
             d, p, nn = _sphere_sphere(gx[i1], size[i1, 0], gx[i2], size[i2, 0])
         elif g.kind == "sphere_capsule":
             d, p, nn = _sphere_capsule(gx[i1], size[i1, 0], gx[i2], gm[i2], size[i2, 0], size[i2, 1])
+        elif g.kind == "sphere_cylinder":
+            d, p, nn = _sphere_cylinder(gx[i1], size[i1, 0], gx[i2], gm[i2], size[i2, 0], size[i2, 1])
         elif g.kind == "capsule_capsule":
             d, p, nn = _capsule_capsule(
+                gx[i1], gm[i1], size[i1, 0], size[i1, 1],
+                gx[i2], gm[i2], size[i2, 0], size[i2, 1],
+            )
+        elif g.kind in ("capsule_cylinder", "cylinder_cylinder"):
+            fn = (
+                _capsule_cylinder if g.kind == "capsule_cylinder"
+                else _cylinder_cylinder
+            )
+            d, p, nn = fn(
                 gx[i1], gm[i1], size[i1, 0], size[i1, 1],
                 gx[i2], gm[i2], size[i2, 0], size[i2, 1],
             )
@@ -420,12 +588,6 @@ def narrowphase(m: PhysicsModel, table: CollisionTable, kin):
             t1 = jnp.where(pn > 1e-8, proj / jnp.maximum(pn, 1e-12), px_fb)
             t2 = jnp.cross(nn, t1)
             fr = jnp.stack([nn, t1, t2], axis=-2)
-        elif g.kind in ("plane_cylinder", "plane_box"):
-            # plane x/y axes (friction is tangent-isotropic so the exact
-            # basis does not affect dynamics; see tests)
-            px = jnp.repeat(gm[i1][..., :, 0], g.cand_per_pair, axis=0)
-            py = jnp.repeat(gm[i1][..., :, 1], g.cand_per_pair, axis=0)
-            fr = jnp.stack([nn, px, py], axis=-2)
         else:
             fr = make_frame(nn)
         dists.append(d)

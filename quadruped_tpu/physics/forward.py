@@ -221,13 +221,22 @@ def step_n(
     if warmstart is None:
         warmstart = jnp.zeros_like(qvel)
 
+    # the env layer only consumes the LAST substep's StepData (MuJoCo
+    # leaves xpos/cfrc stale after mj_step the same way), so carry it
+    # through the scan instead of stacking n copies — stacking the full
+    # StepData at large env batches was >0.5 GB of dead HBM traffic and
+    # crashed the axon runtime
     def body(carry, _):
-        qp, qv, warm = carry
+        qp, qv, warm, _ = carry
         qp, qv, data = step(pl, params, qp, qv, ctrl, warmstart=warm)
-        return (qp, qv, data.qacc), data
+        return (qp, qv, data.qacc, data), None
 
-    (qpos, qvel, _), datas = jax.lax.scan(
-        body, (qpos, qvel, warmstart), None, length=n
+    data0 = jax.eval_shape(
+        lambda qp, qv: step(pl, params, qp, qv, ctrl, warmstart=warmstart)[2],
+        qpos, qvel,
     )
-    last = jax.tree.map(lambda x: x[-1], datas)
+    data0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), data0)
+    (qpos, qvel, _, last), _ = jax.lax.scan(
+        body, (qpos, qvel, warmstart, data0), None, length=n
+    )
     return qpos, qvel, last

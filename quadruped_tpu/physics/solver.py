@@ -27,7 +27,12 @@ import jax.numpy as jnp
 from ..mjcf.model import PhysicsModel
 from .constraint import Efc
 
-_LS_ALPHAS = (1.0, 0.5, 0.125, 0.02)
+# geometric line-search ladder (+ 0 appended in solve): factor-2 spacing
+# from 4 down to ~1e-4, refined by parabolic interpolation around the best
+# candidate.  A coarse ladder (the round-1 version had min alpha 0.02)
+# stalls in stiff deep-penetration states: the Newton step overshoots, every
+# candidate increases Phi, and the solver freezes short of the optimum.
+_LS_ALPHAS = tuple(4.0 * 0.5**k for k in range(16))
 
 
 def _expand_rows(efc: Efc, zrows: jax.Array, ncon: int) -> jax.Array:
@@ -254,7 +259,30 @@ def solve(
         S_cand = _penalty_S(efc, z_cand)
         phis = alphas * qb + alphas * alphas * qa + S_cand
         best = jnp.argmin(phis)
-        return a + alphas[best] * delta
+        a_best = alphas[best]
+        phi_best = phis[best]
+
+        # parabolic refinement through the best candidate and its ladder
+        # neighbours (factor-2 spacing): phi is piecewise-smooth in alpha,
+        # so the vertex of the interpolating parabola is near the true 1D
+        # minimum; one extra penalty evaluation guards monotonicity.
+        nl_ = len(_LS_ALPHAS)
+        il = jnp.clip(best, 1, nl_ - 1)  # exclude the appended 0 candidate
+        a_lo, a_mid, a_hi = alphas[il - 1], alphas[il], alphas[il + 1]
+        p_lo, p_mid, p_hi = phis[il - 1], phis[il], phis[il + 1]
+        d_lo = (p_lo - p_mid) / jnp.maximum(a_lo - a_mid, 1e-30)
+        d_hi = (p_mid - p_hi) / jnp.where(
+            jnp.abs(a_mid - a_hi) > 0, a_mid - a_hi, 1e-30
+        )
+        curv = (d_lo - d_hi) / jnp.maximum(a_lo - a_hi, 1e-30)
+        vertex = 0.5 * (a_lo + a_mid) - 0.5 * d_lo / jnp.where(
+            curv > 1e-30, curv, 1e30
+        )
+        vertex = jnp.clip(vertex, 0.0, alphas[0])
+        S_v = _penalty_S(efc, z + vertex * Jd)
+        phi_v = vertex * qb + vertex * vertex * qa + S_v
+        alpha = jnp.where(phi_v < phi_best, vertex, a_best)
+        return a + alpha * delta
 
     # unrolled python loop: lets XLA software-pipeline across iterations
     # (fori_loop serializes on this platform)
