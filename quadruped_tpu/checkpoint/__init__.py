@@ -49,13 +49,16 @@ def load_policy(path, like: Any):
 
 
 def save_train_state(path, ts, metadata: dict | None = None):
-    """Full-resume checkpoint: params + optimizer + counters (+ metadata)."""
+    """Full-resume checkpoint: params + optimizer + counters (+ metadata).
+
+    The global step counter is NOT part of the device pytree (see
+    learn.ppo.TrainState) — callers put it in `metadata` (JSON ints are
+    arbitrary precision, so no i32 overflow at any training scale)."""
     path = _as_path(path)
     ckpt = ocp.StandardCheckpointer()
     payload = {
         "params": ts.params,
         "opt_state": ts.opt_state,
-        "global_step": ts.global_step,
         "rand_power": ts.rand_power,
         "rng": ts.rng,
     }
@@ -72,7 +75,6 @@ def load_train_state(path, ts):
     like = {
         "params": ts.params,
         "opt_state": ts.opt_state,
-        "global_step": ts.global_step,
         "rand_power": ts.rand_power,
         "rng": ts.rng,
     }
@@ -81,7 +83,6 @@ def load_train_state(path, ts):
         ts,
         params=payload["params"],
         opt_state=payload["opt_state"],
-        global_step=payload["global_step"],
         rand_power=payload["rand_power"],
         rng=payload["rng"],
     )

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["plane", "full"])
     p.add_argument("--no_videos", action="store_true")
     p.add_argument("--checkpoint_interval", type=int, default=500_000)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="Capture a jax.profiler trace of a few training "
+                        "iterations to this directory (view with "
+                        "tensorboard --logdir <dir> or xprof).")
     return p
 
 
@@ -91,6 +95,7 @@ def run_train(args):
         run_name=args.run_name,
         save_videos=not args.no_videos,
         checkpoint_interval=args.checkpoint_interval,
+        profile_dir=args.profile_dir,
     )
     runner = Runner(env, ppo_cfg, run_cfg)
     print(

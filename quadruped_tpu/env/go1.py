@@ -206,7 +206,13 @@ class Go1Env:
 
         k_dr, k_lat = jax.random.split(k_dr)
         if cfg.dr.enabled:
-            params = self._randomize(params, k_dr)
+            # randomize from the NOMINAL model params, never from the
+            # incoming (already-randomized) episode params: re-randomizing
+            # state.params on every autoreset would compound multiplicative
+            # factors into an unbounded geometric random walk
+            params = self._randomize(
+                jax.tree.map(jnp.asarray, self.m.params()), k_dr
+            )
         if cfg.dr.enabled and cfg.dr.max_latency_steps > 0:
             latency = jax.random.randint(
                 k_lat, (), 0, cfg.dr.max_latency_steps + 1

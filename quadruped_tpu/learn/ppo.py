@@ -59,12 +59,18 @@ class PPOConfig:
 
 @flax.struct.dataclass
 class TrainState:
+    """On-device training state.
+
+    The total-env-step counter deliberately lives OUTSIDE this pytree (a
+    Python int on the Runner): an in-jit i32 counter overflows at 2.1B
+    steps — ~35 minutes at the 1M steps/s target — and x64 is off on TPU.
+    """
+
     params: Any                    # policy variables
     opt_state: Any
     env_state: Any                 # batched EnvState
     obs: jax.Array                 # (B, obs_dim) current observations
     rng: jax.Array
-    global_step: jax.Array         # i64/i32 total env steps so far
     rand_power: jax.Array          # curriculum value pushed into resets
 
 
@@ -118,8 +124,6 @@ class PPO:
             env_state=env_state,
             obs=obs.astype(jnp.float32),
             rng=k_train,
-            global_step=jnp.zeros((), jnp.int64)
-            if jax.config.read("jax_enable_x64") else jnp.zeros((), jnp.int32),
             rand_power=jnp.asarray(rand_power, jnp.float32),
         )
 
@@ -151,11 +155,25 @@ class PPO:
         )
         ts = dataclasses.replace(
             ts, env_state=env_state, obs=obs.astype(jnp.float32), rng=rng,
-            global_step=ts.global_step + self.cfg.num_envs,
         )
         return ts, tr
 
     def rollout(self, ts: TrainState):
+        # curriculum plumbing: broadcast the annealed TrainState.rand_power
+        # into every env's reset-noise scale so autoresets inside the scan
+        # use the CURRENT schedule value (reference CurriculumCallback
+        # pushes it via VecEnv set_attr every step, training_callback.py:64)
+        ev = ts.env_state
+        ts = dataclasses.replace(
+            ts,
+            env_state=dataclasses.replace(
+                ev,
+                rand_power=jnp.broadcast_to(
+                    jnp.asarray(ts.rand_power, ev.rand_power.dtype),
+                    ev.rand_power.shape,
+                ),
+            ),
+        )
         ts, traj = jax.lax.scan(
             self._rollout_step, ts, None, length=self.cfg.n_steps
         )

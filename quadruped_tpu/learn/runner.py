@@ -48,6 +48,13 @@ class RunnerConfig:
     save_videos: bool = True
     video_fps: int = 30
     verbose: bool = True
+    # profiling (SURVEY.md §5 TPU equivalent of the reference's wall-clock
+    # prints): capture a jax.profiler trace of training iterations
+    # [profile_start_iter, profile_start_iter + profile_iters) to
+    # `profile_dir` (view with tensorboard or xprof)
+    profile_dir: str | None = None
+    profile_start_iter: int = 2       # skip compile on iteration 0
+    profile_iters: int = 3
 
 
 class Runner:
@@ -136,8 +143,10 @@ class Runner:
 
         ts = trainer.init(jax.random.PRNGKey(seed), rand_power=rand_power)
         history = ckpt.TrainingHistory()
+        global_step = 0  # Python int: overflow-proof (see TrainState note)
         if resume_path:
             ts, meta = ckpt.load_train_state(resume_path, ts)
+            global_step = int(meta.get("global_step", 0))
             hist_path = Path(resume_path) / "training_history.json"
             if hist_path.exists():
                 history = ckpt.TrainingHistory.load(hist_path)
@@ -160,10 +169,12 @@ class Runner:
         initial_rp = rand_power
         t_start = time.time()
         metrics = {}
+        iteration = 0
+        profiling = False
 
-        while int(ts.global_step) < cfg.total_timesteps:
+        while global_step < cfg.total_timesteps:
             # curriculum: linear anneal to 0 over the first 70% of training
-            progress = int(ts.global_step) / max(cfg.total_timesteps, 1)
+            progress = global_step / max(cfg.total_timesteps, 1)
             rp = max(
                 0.0, initial_rp * (1 - progress / cfg.curriculum_fraction)
             ) if initial_rp > 0 else 0.0
@@ -171,22 +182,59 @@ class Runner:
                 ts, rand_power=jnp.asarray(rp, jnp.float32)
             )
 
+            if cfg.profile_dir and iteration == cfg.profile_start_iter:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+
+            t_iter = time.time()
             ts, metrics = trainer.train_iteration(ts)
-            step = int(ts.global_step)
+            jax.block_until_ready(metrics["loss"])
+            iter_seconds = time.time() - t_iter
+            global_step += steps_per_iter
+            step = global_step
+            iteration += 1
+
+            if profiling and iteration >= cfg.profile_start_iter + cfg.profile_iters:
+                jax.profiler.stop_trace()
+                profiling = False
+                if cfg.verbose:
+                    print(f"profiler trace -> {cfg.profile_dir}")
 
             if writer:
                 for k, v in metrics.items():
                     writer.add_scalar(f"train/{k}", float(v), step)
                 writer.add_scalar("curriculum/rand_power", rp, step)
                 writer.add_scalar(
+                    "perf/iter_seconds", iter_seconds, step
+                )
+                writer.add_scalar(
                     "perf/env_steps_per_sec",
-                    step / max(time.time() - t_start, 1e-9), step,
+                    steps_per_iter / max(iter_seconds, 1e-9), step,
                 )
 
             if step >= next_eval:
                 next_eval = step + cfg.eval_frequency
                 eval_rng, k = jax.random.split(eval_rng)
                 ep_rew, ep_len, success, out = self.evaluate(ts, k)
+
+                # spool the eval trajectory through the native async writer
+                # (never blocks on disk); any process can render it later
+                # with `python -m quadruped_tpu.viz.render <spool> <mp4>`
+                try:
+                    from ..native import TrajectoryLog
+
+                    spool_dir = run_dir / "trajectories"
+                    spool_dir.mkdir(exist_ok=True)
+                    spool_path = spool_dir / f"eval_{step}.qtl"
+                    with TrajectoryLog(
+                        spool_path, out["qpos"].shape[-1]
+                    ) as tl:
+                        tl.append_batch(
+                            step, out["reward"][0], out["qpos"][0]
+                        )
+                        tl.flush()
+                except Exception as e:
+                    print(f"  trajectory spool failed: {e}")
                 mean_rew = float(ep_rew.mean())
                 is_best = history.append(
                     step, mean_rew, float(ep_len.mean()), bool(success.any())
@@ -274,9 +322,11 @@ class Runner:
                     },
                 )
 
+        if profiling:
+            jax.profiler.stop_trace()
         ckpt.save_train_state(
             run_dir / "final_model", ts,
-            {"global_step": int(ts.global_step)},
+            {"global_step": global_step},
         )
         history.save(run_dir / "training_history.json")
         if writer:

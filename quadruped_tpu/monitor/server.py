@@ -175,16 +175,20 @@ class MonitorHandler(BaseHTTPRequestHandler):
             pass
 
 
-def serve(port: int = 8898, base: str = ".", background: bool = False):
+def serve(port: int = 8898, base: str = ".", background: bool = False,
+          host: str = "127.0.0.1"):
+    """Default bind is loopback (the reference binds 0.0.0.0 with no auth,
+    monitorserver.py:211 — exposing artifacts to any network peer; pass
+    host='0.0.0.0' explicitly to opt into that)."""
     handler = type("Handler", (MonitorHandler,), {"base": Path(base)})
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), handler)
+    httpd = ThreadingHTTPServer((host, port), handler)
     if background:
         import threading
 
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
         return httpd
-    print(f"monitor server on http://0.0.0.0:{port} (base {base})")
+    print(f"monitor server on http://{host}:{port} (base {base})")
     httpd.serve_forever()
 
 
@@ -192,8 +196,12 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--port", type=int, default=8898)  # monitorserver.py:211
     p.add_argument("--dir", type=str, default=".")
+    p.add_argument(
+        "--host", type=str, default="127.0.0.1",
+        help="bind address; use 0.0.0.0 to allow external access",
+    )
     args = p.parse_args(argv)
-    serve(args.port, args.dir)
+    serve(args.port, args.dir, host=args.host)
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ with g++ (no pybind11 in this image; plain C ABI + ctypes).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 from pathlib import Path
 
@@ -16,12 +17,20 @@ import numpy as np
 
 _DIR = Path(__file__).parent
 _SO = _DIR / "libtrajlog.so"
+_HASH = _DIR / "libtrajlog.so.srchash"
 _LIB = None
 
 
 def _build() -> Path:
+    """Build from source, gated on a content hash of trajlog.cpp.
+
+    The .so is never committed (a binary blob is unreviewable and mtimes
+    after a fresh clone are checkout-order-dependent); the hash sidecar
+    makes rebuilds exact: same source bytes -> reuse, anything else ->
+    recompile."""
     src = _DIR / "trajlog.cpp"
-    if _SO.exists() and _SO.stat().st_mtime >= src.stat().st_mtime:
+    digest = hashlib.sha256(src.read_bytes()).hexdigest()
+    if _SO.exists() and _HASH.exists() and _HASH.read_text() == digest:
         return _SO
     subprocess.run(
         [
@@ -31,6 +40,7 @@ def _build() -> Path:
         check=True,
         capture_output=True,
     )
+    _HASH.write_text(digest)
     return _SO
 
 

@@ -54,6 +54,10 @@ struct Log {
   std::condition_variable cv_drained;
   std::thread worker;
   std::atomic<bool> stop{false};
+  // true while the worker is writing a popped record outside the mutex;
+  // tl_flush must wait on BOTH queue.empty() and !writing, otherwise the
+  // last record can still be in flight when flush() returns
+  bool writing = false;
 
   void run() {
     std::unique_lock<std::mutex> lk(mu);
@@ -62,11 +66,13 @@ struct Log {
       while (!queue.empty()) {
         Record r = std::move(queue.front());
         queue.pop_front();
+        writing = true;
         lk.unlock();
         fwrite(&r.step, sizeof(r.step), 1, f);
         fwrite(&r.reward, sizeof(r.reward), 1, f);
         fwrite(r.qpos.data(), sizeof(float), nq, f);
         lk.lock();
+        writing = false;
       }
       fflush(f);
       cv_drained.notify_all();
@@ -113,7 +119,8 @@ int tl_flush(void* h) {
   if (!log) return -1;
   std::unique_lock<std::mutex> lk(log->mu);
   log->cv.notify_one();
-  log->cv_drained.wait(lk, [&] { return log->queue.empty(); });
+  log->cv_drained.wait(lk,
+                       [&] { return log->queue.empty() && !log->writing; });
   return 0;
 }
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..learn.ppo import PPO, TrainState
 
@@ -44,7 +44,6 @@ def train_state_specs(ts: TrainState, axis: str = "data") -> TrainState:
         env_state=jax.tree.map(lambda _: P(axis), ts.env_state),
         obs=P(axis),
         rng=P(),
-        global_step=P(),
         rand_power=P(),
     )
 
@@ -71,7 +70,7 @@ def multichip_train_iteration(trainer: PPO, mesh: Mesh, ts: TrainState,
 
     @partial(
         shard_map, mesh=mesh, in_specs=(in_specs,),
-        out_specs=(in_specs, metric_specs), check_rep=False,
+        out_specs=(in_specs, metric_specs), check_vma=False,
     )
     def iteration(ts: TrainState):
         rng0 = ts.rng

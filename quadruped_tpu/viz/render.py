@@ -143,3 +143,47 @@ def render_trajectory(
     frames = [r.frame(np.asarray(q)) for q in qpos_log[::every]]
     r.close()
     return write_video(path, frames, fps)
+
+
+def render_spool(
+    spool_path, out_path, ctrl_type: str = "torque", fps: int = 30,
+    width: int = 640, height: int = 480, every: int = 1,
+) -> str:
+    """Render a native trajectory spool (see native/trajlog.cpp) to MP4.
+
+    The runner spools every eval episode asynchronously; this function (or
+    the module CLI below) turns spools into videos in a separate process so
+    the training loop never blocks on rendering — the TPU-native
+    replacement for the reference's in-loop VideoRecordingCallback."""
+    from ..native import read_log
+
+    _, _, qpos = read_log(spool_path)
+    return render_trajectory(
+        qpos, out_path, ctrl_type, fps=fps, width=width, height=height,
+        every=every,
+    )
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Render a .qtl trajectory spool to MP4"
+    )
+    p.add_argument("spool")
+    p.add_argument("out")
+    p.add_argument("--ctrl_type", default="torque")
+    p.add_argument("--fps", type=int, default=30)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--every", type=int, default=1)
+    a = p.parse_args(argv)
+    out = render_spool(
+        a.spool, a.out, a.ctrl_type, fps=a.fps, width=a.width,
+        height=a.height, every=a.every,
+    )
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

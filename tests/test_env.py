@@ -300,8 +300,19 @@ def test_actuator_latency_dr():
     a_lat, _, _, _, _, _ = stepj(s_lat, big)
     a_now, _, _, _, _, _ = stepj(s_now, big)
     assert not np.allclose(np.asarray(a_lat.qpos), np.asarray(a_now.qpos))
-    # after the same action 3x, both see `big` and should evolve identically
-    for _ in range(3):
-        s_lat, *_ = stepj(s_lat, big)
-        s_now2, *_ = stepj(s_now, big)
-        s_now = s_now2
+    # delay semantics: latency-2 env fed [big, big, big] applies the action
+    # stream [0, 0, big] (ring buffer starts zeroed), so its physics state
+    # must track a latency-0 env fed exactly that delayed stream
+    s_d = s_lat
+    s_ref = s_now
+    delayed = [jnp.zeros(12), jnp.zeros(12), big]
+    for k in range(3):
+        s_d, *_ = stepj(s_d, big)
+        s_ref, *_ = stepj(s_ref, delayed[k])
+        np.testing.assert_allclose(
+            np.asarray(s_d.qpos), np.asarray(s_ref.qpos), atol=1e-12,
+            err_msg=f"latency-delayed action stream diverged at step {k}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_d.qvel), np.asarray(s_ref.qvel), atol=1e-12,
+        )

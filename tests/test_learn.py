@@ -93,7 +93,6 @@ def test_train_iteration_runs_and_updates(trainer):
     ts = trainer.init(jax.random.PRNGKey(0))
     p0 = jax.tree.map(np.asarray, ts.params)
     ts, metrics = trainer.train_iteration(ts)
-    assert int(ts.global_step) == trainer.cfg.num_envs * trainer.cfg.n_steps
     # parameters changed
     changed = jax.tree.map(
         lambda a, b: float(np.abs(np.asarray(a) - b).max()), ts.params, p0
@@ -108,11 +107,14 @@ def test_checkpoint_roundtrip(tmp_path, trainer):
 
     ts = trainer.init(jax.random.PRNGKey(0))
     ts, _ = trainer.train_iteration(ts)
-    ckpt.save_train_state(tmp_path / "c1", ts, {"note": "test"})
+    ckpt.save_train_state(
+        tmp_path / "c1", ts, {"note": "test", "global_step": 123456789012}
+    )
     ts2 = trainer.init(jax.random.PRNGKey(42))
     ts2, meta = ckpt.load_train_state(tmp_path / "c1", ts2)
     assert meta["note"] == "test"
-    assert int(ts2.global_step) == int(ts.global_step)
+    # the step counter rides JSON metadata: arbitrary precision, no i32 cap
+    assert meta["global_step"] == 123456789012
     for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts2.params)):
         np.testing.assert_array_equal(a, b)
     # policy-only save/load (best_model equivalent)
@@ -133,6 +135,67 @@ def test_training_history_roundtrip(tmp_path):
     assert h2.best_reward == 6.0
     assert h2.series["timesteps"] == [1000, 2000, 3000]
     assert h2.series["successes"] == [False, True, False]
+
+
+def test_curriculum_anneal_reaches_env_resets():
+    """TrainState.rand_power must be observable in autoreset joint noise
+    (the reference CurriculumCallback pushes rand_power into env resets via
+    set_attr every step, training_callback.py:24-69).  Regression for the
+    round-1 no-op anneal."""
+    env = Go1Env(
+        Go1Config(ctrl_type="torque", rand_power=1.0,
+                  fallen_start_prob=0.0, max_episode_time=0.02)
+    )  # 1-step episodes: every rollout step autoresets
+    cfg = PPOConfig(num_envs=16, n_steps=4, num_minibatches=2, n_epochs=1)
+    trainer = PPO(env, cfg)
+    home = env.key_qpos[7:]
+
+    def joint_spread(rand_power):
+        ts = trainer.init(jax.random.PRNGKey(0), rand_power=1.0)
+        # the runner anneals by overwriting ts.rand_power each iteration
+        ts = dataclasses.replace(
+            ts, rand_power=jnp.asarray(rand_power, jnp.float32)
+        )
+        ts, _ = jax.jit(trainer.rollout)(ts)
+        joints = np.asarray(ts.env_state.qpos[:, 7:])
+        return np.abs(joints - home).mean()
+
+    spread_full = joint_spread(1.0)
+    spread_zero = joint_spread(0.0)
+    assert spread_zero < 1e-9, (
+        "annealed rand_power=0 must give noiseless resets, got "
+        f"spread {spread_zero}"
+    )
+    assert spread_full > 0.02, (
+        f"rand_power=1 resets should be noisy, got spread {spread_full}"
+    )
+
+
+def test_dr_does_not_compound_across_autoresets():
+    """Per-episode randomization must resample from NOMINAL params: chaining
+    multiplicative factors across autoresets is an unbounded geometric
+    random walk (round-1 advisor finding)."""
+    from quadruped_tpu.env.config import DomainRandomization
+
+    env = Go1Env(
+        Go1Config(
+            ctrl_type="torque", max_episode_time=0.02,  # autoreset every step
+            dr=DomainRandomization(enabled=True, friction_range=(0.5, 2.0),
+                                   mass_range=(0.8, 1.25)),
+        )
+    )
+    nominal_friction = np.asarray(env.m.params()["geom_friction"])
+    nominal_mass = np.asarray(env.m.params()["body_mass"])
+    state = env.reset(jax.random.PRNGKey(0))
+    stepj = jax.jit(lambda s, a: env.step_autoreset(s, a))
+    for t in range(40):
+        state, *_ = stepj(state, jnp.zeros(12))
+        fr = np.asarray(state.params["geom_friction"])
+        ma = np.asarray(state.params["body_mass"])
+        assert (fr <= nominal_friction * 2.0 + 1e-9).all(), f"step {t}"
+        assert (fr >= nominal_friction * 0.5 - 1e-9).all(), f"step {t}"
+        assert (ma <= nominal_mass * 1.25 + 1e-9).all(), f"step {t}"
+        assert (ma >= nominal_mass * 0.8 - 1e-9).all(), f"step {t}"
 
 
 def test_multichip_dryrun():
