@@ -5,10 +5,19 @@ the same unit the reference's quick_benchmark measures over SubprocVecEnv,
 test_max_envs.py:107-169).  The reference publishes no numbers; BASELINE.md
 sets the north-star at 1e6 env-steps/sec/chip, so vs_baseline = value/1e6.
 
+Runtime constraints honored (see .claude/skills/verify/SKILL.md):
+  * the axon TPU runtime kills any single XLA program that executes longer
+    than a few seconds, so the rollout is dispatched as short jitted chunks
+    from the host (async dispatch — chunks pipeline, the host loop adds no
+    bubble at these program sizes)
+  * block_until_ready is unreliable on axon; timing syncs use device_get
+
 Prints exactly one JSON line.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -21,12 +30,13 @@ from quadruped_tpu.env.config import Go1Config
 from quadruped_tpu.env.go1 import Go1Env
 from quadruped_tpu.models.actor_critic import Policy
 
-NUM_ENVS = 4096
-T = 50
+NUM_ENVS = int(os.environ.get("QTPU_BENCH_ENVS", 4096))
+WARMUP = 3
+TIMED_STEPS = int(os.environ.get("QTPU_BENCH_STEPS", 20))
 BASELINE = 1.0e6
 
 
-def main():
+def build():
     env = Go1Env(Go1Config(ctrl_type="torque"))
     policy = Policy.make(act_dim=env.nu)
     variables = policy.init(jax.random.PRNGKey(0))
@@ -42,33 +52,35 @@ def main():
     obs = jax.jit(jax.vmap(env.obs))(state).astype(jnp.float32)
 
     @jax.jit
-    def rollout(variables, state, obs, rng):
-        def body(carry, _):
-            state, obs, rng = carry
-            rng, k = jax.random.split(rng)
-            action, _, _, _ = policy.sample(variables, obs, k)
-            state, obs, reward, term, trunc, _ = jax.vmap(
-                env.step_autoreset
-            )(state, action)
-            return (state, obs.astype(jnp.float32), rng), reward
-
-        (state, obs, rng), rewards = jax.lax.scan(
-            body, (state, obs, rng), None, length=T
+    def step(variables, state, obs, rng):
+        """ONE control step per program: policy sample + 10 physics
+        substeps + obs/reward + autoreset.  Bounded execution time."""
+        rng, k = jax.random.split(rng)
+        action, _, _, _ = policy.sample(variables, obs, k)
+        state, obs, reward, term, trunc, _ = jax.vmap(env.step_autoreset)(
+            state, action
         )
-        return state, obs, rng, rewards.mean()
+        return state, obs.astype(jnp.float32), rng, reward.mean()
 
+    return variables, state, obs, step
+
+
+def main():
+    variables, state, obs, step = build()
     rng = jax.random.PRNGKey(2)
-    # compile + warmup
-    state, obs, rng, _ = jax.block_until_ready(rollout(variables, state, obs, rng))
 
-    iters = 4
+    # compile + warmup (also pays any first-use device cost)
+    for _ in range(WARMUP):
+        state, obs, rng, r = step(variables, state, obs, rng)
+    float(jax.device_get(r))  # hard sync
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, obs, rng, r = rollout(variables, state, obs, rng)
-    jax.block_until_ready(r)
+    for _ in range(TIMED_STEPS):
+        state, obs, rng, r = step(variables, state, obs, rng)
+    float(jax.device_get(r))  # hard sync
     dt = time.perf_counter() - t0
 
-    steps_per_sec = NUM_ENVS * T * iters / dt
+    steps_per_sec = NUM_ENVS * TIMED_STEPS / dt
     print(
         json.dumps(
             {

@@ -47,6 +47,13 @@ class PPOConfig:
     num_minibatches: int = 32
     normalize_advantage: bool = True
     adam_eps: float = 1e-5
+    # rollout chunking: number of control steps fused into ONE jitted
+    # program.  None = the whole rollout + update is a single program (best
+    # when the runtime allows it; CPU tests, healthy TPU runtimes).  The
+    # axon TPU runtime kills any single program executing longer than a few
+    # seconds, so large-batch training sets a chunk that keeps each
+    # program's wall-clock short; dispatch is async, chunks pipeline.
+    rollout_chunk: int | None = None
 
     @property
     def batch_size(self) -> int:
@@ -158,13 +165,13 @@ class PPO:
         )
         return ts, tr
 
-    def rollout(self, ts: TrainState):
+    def _push_rand_power(self, ts: TrainState) -> TrainState:
         # curriculum plumbing: broadcast the annealed TrainState.rand_power
         # into every env's reset-noise scale so autoresets inside the scan
         # use the CURRENT schedule value (reference CurriculumCallback
         # pushes it via VecEnv set_attr every step, training_callback.py:64)
         ev = ts.env_state
-        ts = dataclasses.replace(
+        return dataclasses.replace(
             ts,
             env_state=dataclasses.replace(
                 ev,
@@ -174,8 +181,12 @@ class PPO:
                 ),
             ),
         )
+
+    def rollout(self, ts: TrainState, length: int | None = None):
+        ts = self._push_rand_power(ts)
         ts, traj = jax.lax.scan(
-            self._rollout_step, ts, None, length=self.cfg.n_steps
+            self._rollout_step, ts, None,
+            length=self.cfg.n_steps if length is None else length,
         )
         return ts, traj
 
@@ -296,3 +307,42 @@ class PPO:
     @partial(jax.jit, static_argnums=0)
     def train_iteration(self, ts: TrainState):
         return self._train_iteration_impl(ts)
+
+    # ------------------------------------------------- chunked iteration
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _rollout_chunk(self, ts: TrainState, length: int):
+        return self.rollout(ts, length=length)
+
+    @partial(jax.jit, static_argnums=0)
+    def _update_with_metrics(self, ts: TrainState, traj: Transition):
+        ts, metrics = self.update(ts, traj)
+        metrics = dict(
+            metrics,
+            mean_reward=traj.reward.mean(),
+            mean_episode_nonterm=1.0 - traj.done.mean(),
+        )
+        return ts, metrics
+
+    def train_iteration_chunked(self, ts: TrainState):
+        """Same result as train_iteration, but the rollout is split into
+        cfg.rollout_chunk-step jitted programs dispatched from the host
+        (async — chunks pipeline), and the PPO update is its own program.
+        This keeps every single XLA program's execution time bounded, which
+        the current TPU runtime requires at large env batches."""
+        cfg = self.cfg
+        chunk = cfg.rollout_chunk or cfg.n_steps
+        chunks = []
+        done = 0
+        while done < cfg.n_steps:
+            n = min(chunk, cfg.n_steps - done)
+            ts, traj = self._rollout_chunk(ts, n)
+            chunks.append(traj)
+            done += n
+        if len(chunks) == 1:
+            traj = chunks[0]
+        else:
+            traj = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *chunks
+            )
+        return self._update_with_metrics(ts, traj)

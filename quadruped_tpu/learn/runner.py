@@ -187,8 +187,12 @@ class Runner:
                 profiling = True
 
             t_iter = time.time()
-            ts, metrics = trainer.train_iteration(ts)
-            jax.block_until_ready(metrics["loss"])
+            if trainer.cfg.rollout_chunk is not None:
+                ts, metrics = trainer.train_iteration_chunked(ts)
+            else:
+                ts, metrics = trainer.train_iteration(ts)
+            # force a real sync (block_until_ready is unreliable on axon)
+            metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
             iter_seconds = time.time() - t_iter
             global_step += steps_per_iter
             step = global_step

@@ -137,6 +137,28 @@ def test_training_history_roundtrip(tmp_path):
     assert h2.series["successes"] == [False, True, False]
 
 
+def test_chunked_iteration_matches_fused(env):
+    """train_iteration_chunked (host-dispatched short programs, required by
+    runtimes that bound single-program execution) must be numerically
+    equivalent to the fully fused train_iteration."""
+    from quadruped_tpu.learn.ppo import PPOConfig as _Cfg
+
+    cfg = _Cfg(num_envs=8, n_steps=4, num_minibatches=2, n_epochs=2,
+               rollout_chunk=2)
+    tr = PPO(env, cfg)
+    ts0 = tr.init(jax.random.PRNGKey(7))
+    ts_a, m_a = tr.train_iteration(ts0)
+    ts_b, m_b = tr.train_iteration_chunked(ts0)
+    for ka in m_a:
+        np.testing.assert_allclose(
+            np.asarray(m_a[ka]), np.asarray(m_b[ka]), rtol=1e-5, atol=1e-7,
+            err_msg=ka,
+        )
+    for a, b in zip(jax.tree.leaves(ts_a.params), jax.tree.leaves(ts_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_curriculum_anneal_reaches_env_resets():
     """TrainState.rand_power must be observable in autoreset joint noise
     (the reference CurriculumCallback pushes rand_power into env resets via

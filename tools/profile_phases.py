@@ -12,7 +12,11 @@ Usage:  python tools/profile_phases.py [--batches 256,1024,4096] [--iters 20]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +33,20 @@ from quadruped_tpu.physics.smooth import smooth_dynamics
 from quadruped_tpu.physics.solver import solve
 
 
+def sync(out):
+    """Force real completion: block_until_ready is unreliable on axon —
+    pull one scalar off the device instead."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(jax.device_get(jnp.ravel(leaf)[0]))
+
+
 def bench(fn, args, iters):
-    out = jax.block_until_ready(fn(*args))  # compile
+    out = fn(*args)  # compile
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -56,6 +68,11 @@ def main():
     print(f"backend: {jax.devices()[0].platform}  ncand={pl_.table.ncand} "
           f"max_contacts={pl_.layout.max_contacts} nefc={pl_.layout.nefc} "
           f"iterations={m.opt.iterations}")
+
+    # null-program overhead: dispatch + 4-byte D2H round trip
+    null = jax.jit(lambda x: x + 1.0)
+    t_null = bench(null, (jnp.zeros(8, jnp.float32),), args.iters)
+    print(f"null program + sync: {t_null*1e6:.0f} us/call")
 
     for B in [int(x) for x in args.batches.split(",")]:
         keys = jax.random.split(jax.random.PRNGKey(0), B)
