@@ -247,7 +247,9 @@ def assemble(
         lower = dist_lo < dist_hi
         dist = jnp.where(lower, dist_lo, dist_hi)
         sign = jnp.where(lower, 1.0, -1.0).astype(dtype)
-        Jl = jnp.zeros((nl, m.nv), dtype).at[jnp.arange(nl), dadr].set(sign)
+        oh = np.zeros((nl, m.nv), np.float32)
+        oh[np.arange(nl), dadr] = 1.0  # static one-hot, scatter-free
+        Jl = jnp.asarray(oh, dtype) * sign[:, None]
         margin = jnp.asarray(m.jnt_margin[lj], dtype)
         solref = jnp.asarray(m.jnt_solref[lj], dtype)
         solimp = jnp.asarray(m.jnt_solimp[lj], dtype)
@@ -268,20 +270,20 @@ def assemble(
     dist_all, pos_all, frame_all = narrowphase(m, table, kin)
     K = layout.max_contacts
     if K is not None and K < layout.ncon:
-        # stream-compact the active candidates into K solver slots via a
-        # cumsum scatter (a full top_k sort is ~4x slower on TPU); actives
-        # beyond K slots are dropped (K is sized well above the realistic
-        # simultaneous-contact count)
+        # stream-compact the active candidates into K solver slots with a
+        # cumsum + searchsorted (scatter-free; a full top_k sort is ~4x
+        # slower on TPU and dynamic scatters lower to sort-based kernels);
+        # actives beyond K slots are dropped (K is sized well above the
+        # realistic simultaneous-contact count)
         incm_all = jnp.asarray(layout.con_includemargin, dtype)
         act_all = dist_all < incm_all
-        slot = jnp.cumsum(act_all) - 1
-        dest = jnp.where(act_all & (slot < K), slot, K)
-        sel = (
-            jnp.zeros(K + 1, dtype=jnp.int32)
-            .at[dest]
-            .set(jnp.arange(layout.ncon, dtype=jnp.int32))[:K]
-        )
-        slot_valid = jnp.arange(K) < jnp.sum(act_all)
+        cs = jnp.cumsum(act_all.astype(jnp.int32))
+        # k-th active candidate = first index i with cs[i] == k+1
+        sel = jnp.searchsorted(
+            cs, jnp.arange(1, K + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        sel = jnp.minimum(sel, layout.ncon - 1)
+        slot_valid = jnp.arange(K) < cs[-1]
         dist, pos, frame = dist_all[sel], pos_all[sel], frame_all[sel]
         # force unselected slots inactive regardless of the dummy gather
         dist = jnp.where(slot_valid, dist, 1e9)

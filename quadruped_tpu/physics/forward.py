@@ -117,6 +117,24 @@ def forward(
     )
 
 
+_CFRC_CONST: dict[int, tuple] = {}
+
+
+def _cfrc_consts(pl: Pipeline):
+    """Static one-hot accumulation matrices: TPU scatters lower to slow
+    sort-based kernels under vmap, so every segment-sum here is expressed
+    as a (constant) 0/1 matmul instead."""
+    if id(pl) not in _CFRC_CONST:
+        m = pl.m
+        root_of = np.asarray(m.body_rootid)
+        root_oh = np.zeros((m.nbody, m.nbody), np.float32)
+        root_oh[root_of, np.arange(m.nbody)] = 1.0  # (root, body)
+        world_mask = np.ones(m.nbody, np.float32)
+        world_mask[0] = 0.0
+        _CFRC_CONST[id(pl)] = (root_of, root_oh, world_mask)
+    return _CFRC_CONST[id(pl)]
+
+
 def cfrc_ext(pl: Pipeline, params, kin: Kin, efc, con_force: jax.Array) -> jax.Array:
     """Per-body external contact force accumulation, MuJoCo cfrc_ext layout:
     6-vector (torque, force) in world axes, torque about the subtree CoM of
@@ -133,13 +151,14 @@ def cfrc_ext(pl: Pipeline, params, kin: Kin, efc, con_force: jax.Array) -> jax.A
     force_w = jnp.einsum("ci,cik->ck", con_force[:, :3], efc.con_frame) * active
     torque_w = jnp.einsum("ci,cik->ck", con_force[:, 3:], efc.con_frame) * active
 
-    # per-root subtree CoM (mass-weighted over each root's tree)
+    root_of, root_oh_np, world_mask_np = _cfrc_consts(pl)
+    root_oh = jnp.asarray(root_oh_np, dtype)
+
+    # per-root subtree CoM (mass-weighted over each root's tree) — one
+    # static-mask matmul instead of a scatter-add
     mass = jnp.asarray(params["body_mass"], dtype)
-    root_of = np.asarray(m.body_rootid)
-    nroot_com = jnp.zeros((m.nbody, 3), dtype)
-    wsum = jnp.zeros(m.nbody, dtype)
-    nroot_com = nroot_com.at[root_of].add(mass[:, None] * kin.xipos)
-    wsum = wsum.at[root_of].add(mass)
+    nroot_com = root_oh @ (mass[:, None] * kin.xipos)
+    wsum = root_oh @ mass
     root_com = nroot_com / jnp.maximum(wsum, 1e-12)[:, None]
     # world body: subtree_com[0] is the whole-system CoM
     total_com = jnp.sum(mass[:, None] * kin.xipos, axis=0) / jnp.maximum(
@@ -148,7 +167,6 @@ def cfrc_ext(pl: Pipeline, params, kin: Kin, efc, con_force: jax.Array) -> jax.A
     root_com = root_com.at[0].set(total_com)
     ref_b = root_com[root_of]                      # (nbody, 3)
 
-    cfrc = jnp.zeros((m.nbody, 6), dtype)
     b1 = jnp.asarray(pl.layout.con_body1)
     b2 = jnp.asarray(pl.layout.con_body2)
     if efc.con_sel is not None:
@@ -158,12 +176,16 @@ def cfrc_ext(pl: Pipeline, params, kin: Kin, efc, con_force: jax.Array) -> jax.A
     arm1 = efc.con_pos - ref_b[b1]
     t2 = torque_w + jnp.cross(arm2, force_w)
     t1 = torque_w + jnp.cross(arm1, force_w)
-    cfrc = cfrc.at[b2, :3].add(t2)
-    cfrc = cfrc.at[b2, 3:].add(force_w)
-    cfrc = cfrc.at[b1, :3].add(-t1)
-    cfrc = cfrc.at[b1, 3:].add(-force_w)
+    # segment-sum over (possibly dynamic) body ids via comparison one-hots:
+    # (nbody, ncon) @ (ncon, 3) matmuls — no scatter anywhere
+    bodies = jnp.arange(m.nbody)[:, None]
+    oh2 = (bodies == b2[None, :]).astype(dtype)
+    oh1 = (bodies == b1[None, :]).astype(dtype)
+    cfrc_t = oh2 @ t2 - oh1 @ t1
+    cfrc_f = (oh2 - oh1) @ force_w
+    cfrc = jnp.concatenate([cfrc_t, cfrc_f], axis=1)
     # mujoco does not accumulate external forces onto the world body
-    return cfrc.at[0].set(0.0)
+    return cfrc * jnp.asarray(world_mask_np, dtype)[:, None]
 
 
 def integrate(
@@ -180,13 +202,16 @@ def integrate(
         L = jnp.linalg.cholesky(Mh)
         qvel_new = qvel + h * jax.scipy.linalg.cho_solve((L, True), M @ qacc)
 
-    # hinges: one batched scatter; free joints: exact quaternion step
+    # hinges: one constant-projection matmul (scatter-free); free joints:
+    # exact quaternion step
     from .kinematics import tree_levels
 
     lv = tree_levels(m)
     qpos_new = qpos
     if len(lv.hinge_jnt):
-        qpos_new = qpos_new.at[lv.hinge_qadr].add(h * qvel_new[lv.hinge_dof])
+        P = np.zeros((m.nq, m.nv), np.float32)
+        P[lv.hinge_qadr, lv.hinge_dof] = 1.0
+        qpos_new = qpos_new + h * (jnp.asarray(P, dtype) @ qvel_new)
     for j in lv.free_jnt:
         qadr = int(m.jnt_qposadr[j])
         dadr = int(m.jnt_dofadr[j])

@@ -35,14 +35,31 @@ from .constraint import Efc
 _LS_ALPHAS = tuple(4.0 * 0.5**k for k in range(16))
 
 
+_EXPAND_CACHE: dict[tuple, tuple] = {}
+
+
 def _expand_rows(efc: Efc, zrows: jax.Array, ncon: int) -> jax.Array:
-    """Compact contact rows -> padded (..., ncon, 6) (masked dims zero)."""
+    """Compact contact rows -> padded (..., ncon, 6) (masked dims zero).
+
+    Expressed as a static masked GATHER (inverse row map), not a scatter:
+    this runs once per line-search candidate in the solver hot loop, and
+    TPU scatters lower to slow sort-based kernels."""
     if efc.row_con is None:
         return zrows.reshape(zrows.shape[:-1] + (ncon, 6))
-    rc = jnp.asarray(efc.row_con)
-    rd = jnp.asarray(efc.row_dim)
-    out = jnp.zeros(zrows.shape[:-1] + (ncon, 6), zrows.dtype)
-    return out.at[..., rc, rd].set(zrows)
+    key = (efc.row_con, efc.row_dim, ncon)
+    if key not in _EXPAND_CACHE:
+        import numpy as np
+
+        inv = np.zeros((ncon, 6), np.int32)
+        msk = np.zeros((ncon, 6), bool)
+        for r, (c, d) in enumerate(zip(efc.row_con, efc.row_dim)):
+            inv[c, d] = r
+            msk[c, d] = True
+        _EXPAND_CACHE[key] = (inv, msk)
+    inv, msk = _EXPAND_CACHE[key]
+    gathered = zrows[..., jnp.asarray(inv.reshape(-1))]
+    gathered = gathered.reshape(zrows.shape[:-1] + (ncon, 6))
+    return jnp.where(jnp.asarray(msk), gathered, 0.0)
 
 
 def _compact_rows(efc: Efc, padded: jax.Array, ncon: int) -> jax.Array:
@@ -226,9 +243,8 @@ def solve(
         if efc.row_con is None:
             Jc = efc.J[nfl:].reshape(ncon, 6, nv)
         else:
-            rc = jnp.asarray(efc.row_con)
-            rd = jnp.asarray(efc.row_dim)
-            Jc = jnp.zeros((ncon, 6, nv), dtype).at[rc, rd].set(efc.J[nfl:])
+            # (nrows, nv) -> (ncon, 6, nv) via the static gather-expand
+            Jc = jnp.moveaxis(_expand_rows(efc, efc.J[nfl:].T, ncon), 0, -1)
     else:
         Jc = None
 
