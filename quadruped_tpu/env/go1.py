@@ -368,7 +368,16 @@ class Go1Env:
         time_unhealthy = jnp.where(
             healthy, 0.0, state.time_unhealthy + cfg.dt
         ).astype(dtype)
-        terminated = time_unhealthy > cfg.max_unhealthy_time
+        # Non-finite state terminates IMMEDIATELY (not via the 15s unhealthy
+        # timer): MuJoCo's mj_step auto-resets mjData on mjWARN_BADQACC, so
+        # the reference never carries NaN state across steps either
+        # (go1_mujoco_env.py:438-440 merely marks state_not_finite
+        # unhealthy because libmujoco already guarantees finiteness).  A
+        # NaN state left in a batched rollout poisons every reduction
+        # (batch reward means, PPO gradients), so it must leave the batch
+        # at once; reward/obs from such a step are zeroed.
+        finite = jnp.isfinite(qpos).all() & jnp.isfinite(qvel).all()
+        terminated = (time_unhealthy > cfg.max_unhealthy_time) | ~finite
         truncated = steps >= cfg.max_episode_steps
 
         bipedal_success = (
@@ -406,6 +415,10 @@ class Go1Env:
         # docstring) — so it is computed with state.last_action, not action
         obs_state = dataclasses.replace(new_state, last_action=state.last_action)
         observation = self.obs(obs_state)
+        reward = jnp.where(
+            finite & jnp.isfinite(reward), reward, jnp.zeros_like(reward)
+        )
+        observation = jnp.where(finite, observation, jnp.zeros_like(observation))
         return new_state, observation, reward, terminated, truncated, info
 
     # ----------------------------------------------------------------- reward

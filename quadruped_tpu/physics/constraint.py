@@ -340,6 +340,10 @@ def assemble(
         [(dist - margin)[:, None], jnp.zeros((ncon, 5), dtype)], axis=1
     )
     aref_con = -B[:, None] * vel - (Kstiff * d_imp)[:, None] * pos6
+    # inactive candidate slots carry sentinel distances (1e9): zero their
+    # aref so no 1e12-scale garbage enters z = J a - aref (masked later,
+    # but float32 squares of such sentinels overflow)
+    aref_con = jnp.where(con_active[:, None], aref_con, 0.0)
 
     dim_mask = jnp.arange(6)[None, :] < condim[:, None]     # (ncon, 6)
     sqrt_ir = float(np.sqrt(impratio))

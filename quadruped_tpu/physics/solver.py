@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..mjcf.model import PhysicsModel
 from .constraint import Efc
@@ -48,8 +49,6 @@ def _expand_rows(efc: Efc, zrows: jax.Array, ncon: int) -> jax.Array:
         return zrows.reshape(zrows.shape[:-1] + (ncon, 6))
     key = (efc.row_con, efc.row_dim, ncon)
     if key not in _EXPAND_CACHE:
-        import numpy as np
-
         inv = np.zeros((ncon, 6), np.int32)
         msk = np.zeros((ncon, 6), bool)
         for r, (c, d) in enumerate(zip(efc.row_con, efc.row_dim)):
@@ -120,8 +119,21 @@ def _penalty_S(efc: Efc, z: jax.Array) -> jax.Array:
 
 def _penalty(efc: Efc, z: jax.Array, want_hess: bool = False):
     """Per-row force f(z), total penalty S(z), diagonal weights w(z) for the
-    simple rows, and (if want_hess) exact 6x6 cone Hessian blocks
-    B (ncon,6,6) such that  H = M + J^T diag(w) J + sum_c Jc^T Bc Jc.
+    simple rows, and (if want_hess) the cone-Hessian factorization
+    (w_con (ncon,6), V3 (ncon,3,6), wV (ncon,3)) such that
+
+        H = M + J^T diag(w) J
+              + sum_c Jc^T [ S diag-part S + S (sum_v wV_v v v^T) S ] Jc / Rn
+
+    i.e. the exact 6x6 cone Hessian decomposed into per-row diagonal
+    weights plus THREE rank-1 directions per contact.  The decomposition
+    lets the solver fold everything into ONE Gram contraction over an
+    extended row set — per-contact 6x6 batched matmuls pad the MXU to ~2%
+    utilization and dominated solve time.
+
+    Derivation (middle-of-cone case, mu = mu_tilde, v = e0 + mu*nhat):
+        dP = v v^T / (1+mu^2) + (mu*alpha/t) (I - e0 e0^T - nhat nhat^T)
+    bottom: dP = I (pure diagonal);  top: dP = 0.
 
     Broadcasts over leading axes of z: the line search evaluates all step
     candidates in ONE call with z of shape (n_alphas, nefc)."""
@@ -192,27 +204,35 @@ def _penalty(efc: Efc, z: jax.Array, want_hess: bool = False):
         f = f.at[..., nf + nl :].set(_compact_rows(efc, f_con, ncon))
 
         if want_hess:
-            # exact Hessian of sigma wrt z per contact: B = S dP/du S / Rn
-            # bottom: dP/du = I ; top: 0 ; middle: closed-form projection
-            # Jacobian of the circular cone (PSD, symmetric)
-            eye6 = jnp.eye(6, dtype=dtype)
-            nhat = jnp.concatenate([jnp.zeros((ncon, 1), dtype), tdir], axis=1)
-            e0 = jnp.zeros((ncon, 6), dtype).at[:, 0].set(1.0)
-            c1 = (e0 + mu[:, None] * nhat) / (1.0 + mu * mu)[:, None]
-            # middle dP = c1 (x) (e0 + mu nhat)^T + (mu alpha / t) * T_perp
-            outer = c1[:, :, None] * (e0 + mu[:, None] * nhat)[:, None, :]
-            tperp = (
-                eye6[None] - e0[:, :, None] * e0[:, None, :]
-                - nhat[:, :, None] * nhat[:, None, :]
-            )
-            dP_mid = outer + (mu * alpha / t)[:, None, None] * tperp
-            dP = jnp.where(
-                bottom[:, None, None],
-                eye6[None],
-                jnp.where(top[:, None, None], 0.0, dP_mid),
-            )
+            # cone Hessian B = S dP S / Rn decomposed as diagonal + 3 rank-1
+            # (see docstring).  Row-diagonal part per dim d:
+            #   bottom: S_d^2 / Rn ;  middle: (mu alpha / t) S_d^2 / Rn
+            act = efc.con_active.astype(dtype)
+            mid_c = (mu * alpha / t)
+            diag_c = jnp.where(bottom, 1.0, jnp.where(top, 0.0, mid_c))
             Sm = efc.con_scale * mask
-            B = (Sm[:, :, None] * dP * Sm[:, None, :]) / Rn[:, None, None]
+            w_con = (diag_c * act / Rn)[:, None] * Sm * Sm     # (ncon, 6)
+
+            # rank-1 directions (middle case only): +vv^T/(1+mu^2) and
+            # -(mu alpha/t)(e0 e0^T + nhat nhat^T), all conjugated by S/√Rn
+            nhat = jnp.concatenate(
+                [jnp.zeros((ncon, 1), dtype), tdir], axis=1
+            )
+            e0 = jnp.zeros((ncon, 6), dtype).at[:, 0].set(1.0)
+            v = e0 + mu[:, None] * nhat
+            V3 = jnp.stack([v, e0, nhat], axis=1) * Sm[:, None, :]  # (ncon,3,6)
+            is_mid = (middle & efc.con_active).astype(dtype)
+            wV = jnp.stack(
+                [
+                    is_mid / ((1.0 + mu * mu) * Rn),
+                    -is_mid * mid_c / Rn,
+                    -is_mid * mid_c / Rn,
+                ],
+                axis=1,
+            )                                                   # (ncon, 3)
+            # fold the diagonal part into the simple-row weights directly
+            w = w.at[..., nf + nl :].set(_compact_rows(efc, w_con, ncon))
+            B = (V3, wV)
 
     return f, S, w, B
 
@@ -240,13 +260,19 @@ def solve(
     ncon = efc.con_dist.shape[0]
     nfl = efc.nf + efc.nl
     if ncon:
+        # static row -> (contact, dim) map for gathering rank-1 coefficients
         if efc.row_con is None:
-            Jc = efc.J[nfl:].reshape(ncon, 6, nv)
+            rc = np.repeat(np.arange(ncon), 6)
+            rd = np.tile(np.arange(6), ncon)
         else:
-            # (nrows, nv) -> (ncon, 6, nv) via the static gather-expand
-            Jc = jnp.moveaxis(_expand_rows(efc, efc.J[nfl:].T, ncon), 0, -1)
-    else:
-        Jc = None
+            rc = np.asarray(efc.row_con)
+            rd = np.asarray(efc.row_dim)
+        # constant one-hot (ncon, nrows): segment-sum rows by contact
+        oh_con = np.zeros((ncon, len(rc)), np.float32)
+        oh_con[rc, np.arange(len(rc))] = 1.0
+        oh_con_j = jnp.asarray(oh_con, dtype)
+        rc_j = jnp.asarray(rc)
+        rd_j = jnp.asarray(rd)
 
     def body(_, a):
         z = jnp.einsum("ei,i->e", efc.J, a, precision=prec) - efc.aref
@@ -254,15 +280,40 @@ def solve(
         grad = M @ (a - qacc_smooth) - jnp.einsum(
             "ei,e->i", efc.J, f, precision=prec
         )
-        H = M + jnp.einsum(
-            "ei,e,ej->ij", efc.J, w, efc.J, precision=prec
-        ) + eye
         if ncon:
-            H = H + jnp.einsum(
-                "cia,cij,cjb->ab", Jc, B, Jc, precision=prec
-            )
+            # rank-1 cone rows: U[c,v,:] = sum_d V3[c,v,d] Jc[c,d,:],
+            # computed as ONE (ncon, nrows) x (nrows, 3*nv) matmul over the
+            # compact row axis — no per-contact tiny matmuls
+            V3, wV = B
+            coef = V3[rc_j, :, rd_j]                    # (nrows, 3)
+            Jw = coef[:, :, None] * efc.J[nfl:][:, None, :]  # (nrows,3,nv)
+            U = jnp.einsum(
+                "cr,rk->ck", oh_con_j, Jw.reshape(len(rc), 3 * nv),
+                precision=prec,
+            ).reshape(ncon * 3, nv)
+            rows = jnp.concatenate([efc.J, U], axis=0)
+            wts = jnp.concatenate([w, wV.reshape(ncon * 3)])
+        else:
+            rows, wts = efc.J, w
+        H = M + jnp.einsum(
+            "ei,e,ej->ij", rows, wts, rows, precision=prec
+        ) + eye
+        # float32 robustness: the exact cone Hessian is PSD, but its
+        # rank-1 decomposition accumulates cancellation error ~eps*|w|max
+        # that can push the smallest eigenvalue slightly negative in stiff
+        # contact states -> NaN Cholesky.  Detect it (the last pivot
+        # depends on every prior one, so one isfinite check suffices) and
+        # retry with a Levenberg shift of 1e-3 * maxdiag — far above the
+        # observed eps-scale deficit, far below the dominant curvature.
         L = jnp.linalg.cholesky(H)
+        bad = ~jnp.isfinite(L[-1, -1])
+        shift = 1e-3 * jnp.max(jnp.diagonal(H)) * jnp.eye(nv, dtype=dtype)
+        L2 = jnp.linalg.cholesky(H + shift)
+        L = jnp.where(bad, L2, L)
         delta = -jax.scipy.linalg.cho_solve((L, True), grad)
+        # last-ditch: if the shifted factorization still failed, take no
+        # step this iteration (alpha * NaN is NaN even at alpha=0)
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, 0.0)
 
         Jd = jnp.einsum("ei,i->e", efc.J, delta, precision=prec)
         Md = M @ delta
@@ -274,6 +325,12 @@ def solve(
         z_cand = z[None, :] + alphas[:, None] * Jd[None, :]
         S_cand = _penalty_S(efc, z_cand)
         phis = alphas * qb + alphas * alphas * qa + S_cand
+        # NaN candidates (e.g. a non-finite delta surviving both Cholesky
+        # attempts) must lose the argmin: XLA's argmin-over-NaN semantics
+        # differ between CPU and TPU, and on TPU a NaN winner poisons qacc.
+        # The alpha=0 candidate is always finite, so the solver stalls one
+        # iteration instead of exploding.
+        phis = jnp.where(jnp.isnan(phis), jnp.inf, phis)
         best = jnp.argmin(phis)
         a_best = alphas[best]
         phi_best = phis[best]

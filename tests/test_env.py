@@ -174,13 +174,9 @@ class Oracle:
         return obs, reward, d.qpos.copy(), d.qvel.copy()
 
 
-def test_obs_reward_parity(env, oracle_model):
-    """State-coupled parity: my env vs numpy oracle over 40 control steps,
-    covering healthy standing, walking commands and a fall."""
-    oracle = Oracle(oracle_model)
-    rng = jax.random.PRNGKey(0)
-    state = env.reset(rng)
-    # force a deterministic desired velocity for the oracle
+def _run_parity(env, oracle, n_steps, action_fn, atol_obs=2e-4,
+                atol_rew=2e-3, atol_drift=1e-4, seed=0):
+    state = env.reset(jax.random.PRNGKey(seed))
     state = dataclasses.replace(state, desired_vel=jnp.asarray([0.4, 0.0, 0.0]))
     stateful = dict(
         desired_vel=np.array([0.4, 0.0, 0.0]),
@@ -190,23 +186,197 @@ def test_obs_reward_parity(env, oracle_model):
         last_health_dev=np.zeros(3),
     )
     stepj = jax.jit(lambda s, a: env.step(s, a))
-    rng_a = np.random.default_rng(3)
-    for t in range(40):
-        action = rng_a.uniform(-0.6, 0.6, 12)
+    for t in range(n_steps):
+        action = action_fn(t)
         pre_qpos = np.array(state.qpos)
         pre_qvel = np.array(state.qvel)
         state, obs, reward, term, trunc, info = stepj(state, jnp.asarray(action))
         o_obs, o_rew, o_qpos, o_qvel = oracle.run_step(
             pre_qpos, pre_qvel, action, stateful
         )
-        np.testing.assert_allclose(np.asarray(obs), o_obs, atol=2e-4,
+        np.testing.assert_allclose(np.asarray(obs), o_obs, atol=atol_obs,
                                    err_msg=f"obs mismatch at step {t}")
-        np.testing.assert_allclose(float(reward), o_rew, atol=2e-3,
+        np.testing.assert_allclose(float(reward), o_rew, atol=atol_rew,
                                    err_msg=f"reward mismatch at step {t}")
         # keep the oracle's stateful vars coherent with MY trajectory:
         # re-sync its physics state to mine (divergence control)
         drift = np.abs(np.array(state.qpos) - o_qpos).max()
-        assert drift < 1e-4, f"physics drift {drift} at step {t}"
+        assert drift < atol_drift, f"physics drift {drift} at step {t}"
+    return state, info
+
+
+def test_obs_reward_parity(env, oracle_model):
+    """State-coupled parity: my env vs numpy oracle over 40 control steps,
+    covering healthy standing, walking commands and a fall."""
+    oracle = Oracle(oracle_model)
+    rng_a = np.random.default_rng(3)
+    _run_parity(env, oracle, 40, lambda t: rng_a.uniform(-0.6, 0.6, 12))
+
+
+def test_obs_reward_parity_position():
+    """Same parity loop on the POSITION-servo model (kp=100 actuators,
+    ctrl = target joint angle; go1_position.xml)."""
+    env = Go1Env(Go1Config(ctrl_type="position"))
+    mj = mujoco.MjModel.from_xml_string(go1_xml("position"))
+    oracle = Oracle(mj)
+    home = mj.key_ctrl[0].copy()
+    rng_a = np.random.default_rng(5)
+    # kp=100 servos are stiffer than raw torques: allow slightly looser
+    # velocity-obs tolerance for accumulated solver-iteration differences
+    _run_parity(
+        env, oracle, 40, lambda t: home + rng_a.uniform(-0.35, 0.35, 12),
+        atol_obs=1e-3, atol_rew=5e-3, atol_drift=3e-4,
+    )
+
+
+class BipedOracle(Oracle):
+    """Reference-formula scoreboard for BIPED mode: quadruped base terms
+    minus orientation/default-pos, plus the upright reward, the alternating
+    rear-feet bonus and the 10 extra biped costs
+    (go1_mujoco_env.py:269-430, 869-904)."""
+
+    def __init__(self, mj):
+        super().__init__(mj)
+        import mujoco as mj_
+
+        def bid(n):
+            return mj_.mj_name2id(mj, mj_.mjtObj.mjOBJ_BODY.value, n)
+
+        def sid(n):
+            return mj_.mj_name2id(mj, mj_.mjtObj.mjOBJ_SITE.value, n)
+
+        self.front_knees = [bid("FR_calf"), bid("FL_calf")]
+        self.front_feet_sites = [sid("FR"), sid("FL")]
+        self.rear_hips = [bid("RR_hip"), bid("RL_hip")]
+        self.front_hips = [bid("FR_hip"), bid("FL_hip")]
+        self.unwanted = [bid(n) for n in (
+            "trunk", "FR_thigh", "FL_thigh", "RR_thigh", "RL_thigh",
+            "FR_calf", "FL_calf")]
+        self.limb = {
+            "fr": {bid("FR_hip"), bid("FR_thigh"), bid("FR_calf")},
+            "fl": {bid("FL_hip"), bid("FL_thigh"), bid("FL_calf")},
+            "rr": {bid("RR_hip"), bid("RR_thigh"), bid("RR_calf")},
+            "rl": {bid("RL_hip"), bid("RL_thigh"), bid("RL_calf")},
+        }
+
+    def self_collision_count(self):
+        d, mj = self.d, self.mj
+        count = 0
+        for i in range(d.ncon):
+            b1 = mj.geom_bodyid[d.contact[i].geom1]
+            b2 = mj.geom_bodyid[d.contact[i].geom2]
+            pair = lambda A, B: (b1 in A and b2 in B) or (b2 in A and b1 in B)
+            if pair(self.limb["fr"], self.limb["fl"]):
+                count += 1
+            elif pair(self.limb["rr"], self.limb["rl"]):
+                count += 1
+        return count
+
+    def run_step(self, qpos, qvel, action, s):
+        mj, d = self.mj, self.d
+        import mujoco as mj_
+
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        d.ctrl[:] = action
+        for _ in range(10):
+            mj_.mj_step(mj, d)
+        mj_.mj_rnePostConstraint(mj, d)
+
+        healthy = self.health(d.qpos, d.qvel)
+        pg = projected_gravity_np(d.qpos)
+        obs = np.concatenate(
+            [
+                d.qvel[:3] * 2.0,
+                d.qvel[3:6] * 0.25,
+                pg,
+                s["desired_vel"] * 2.0,
+                d.qpos[7:] - self.key_qpos[7:],
+                d.qvel[6:] * 0.05,
+                s["last_action"],
+            ]
+        ).clip(-100, 100)
+
+        lin = np.exp(-np.sum((s["desired_vel"][:2] - d.qvel[:2]) ** 2) / 0.25) * 2.0
+        ang = np.exp(-((s["desired_vel"][2] - d.qvel[5]) ** 2) / 0.25) * 1.0
+        healthy_r = 1.0 if healthy else 0.0
+
+        feet_forces = np.linalg.norm(d.cfrc_ext[list(FEET_BODIES)], axis=1)
+        curr = feet_forces > 1.0
+        # biped: alternating rear-feet bonus; air-time state NOT updated
+        feet_air = float(curr[2] != curr[3]) * 5.0
+
+        dev = self.health_dev(d.qpos)
+        if healthy:
+            recovery = 0.0
+            s["last_health_dev"] = np.zeros(3)
+        else:
+            recovery = np.sum(s["last_health_dev"] - dev) * 10.0
+            s["last_health_dev"] = dev
+        if healthy:
+            get_up = 0.0
+        else:
+            height = np.clip(d.xpos[1][2] / 0.22, 0.0, 1.0)
+            orient = 1.0 - np.sum(pg[:2] ** 2)
+            get_up = (1.5 * height + 0.5 * orient) * 20.0
+
+        upright = max(0.0, d.xmat[1].reshape(3, 3)[:, 0] @ np.array([0, 0, 1.0])) * 15.0
+        rewards = lin + ang + healthy_r + feet_air + get_up + recovery + upright
+
+        scale = 1.0 if healthy else 0.1
+        torque = np.sum(d.qfrc_actuator[-12:] ** 2) * scale * 2e-4
+        act_rate = np.sum((s["last_action"] - action) ** 2) * scale * 0.01
+        vert = d.qvel[2] ** 2 * 2.0
+        xy_ang = np.sum(d.qvel[3:5] ** 2) * 0.05
+        oor = (self.soft[:, 0] - d.qpos[7:]).clip(min=0) + (
+            d.qpos[7:] - self.soft[:, 1]
+        ).clip(min=0)
+        jlim = np.sum(oor) * 10.0
+        jvel = np.sum(d.qvel[6:] ** 2) * 0.01
+        jacc = np.sum(d.qacc[6:] ** 2 / (np.abs(d.qvel[6:]) + 1e-6)) * scale * 2e-4
+        coll = float(np.linalg.norm(d.cfrc_ext[list(CONTACT_BODIES)]) > 0.1)
+        unhealthy_c = 0.0 if healthy else 5.0
+
+        front_contact = np.sum(feet_forces[:2] ** 2) * 50.0
+        rear_airborne = 5.0 if np.all(feet_forces[2:] < 1.0) else 0.0
+        feet_z = d.site_xpos[self.front_feet_sites][:, 2]
+        knees_z = d.xpos[self.front_knees][:, 2]
+        front_foot_height = np.sum((knees_z - feet_z).clip(min=0.0)) * 8.0
+        rh = d.xpos[self.rear_hips]
+        crossed = max(0.0, rh[0, 1] - rh[1, 1]) * 5.0
+        low_hips = np.sum((0.2 - rh[:, 2]).clip(min=0.0)) * 10.0 * 9.0
+        fh_z = d.xpos[self.front_hips][:, 2]
+        below_hips = np.sum(((fh_z - feet_z).clip(min=0.0)) ** 2) * 6.0
+        abduction = np.sum(d.qpos[7:][[0, 3, 6, 9]] ** 2) * 0.7
+        unwanted = np.sum(
+            np.linalg.norm(d.cfrc_ext[self.unwanted], axis=1) ** 2
+        ) * 150.0
+        selfc = self.self_collision_count() * 25.0
+
+        costs = (
+            torque + act_rate + vert + xy_ang + jlim + jvel + jacc + coll
+            + unhealthy_c + front_contact + rear_airborne + front_foot_height
+            + crossed + low_hips + below_hips + abduction + unwanted + selfc
+        )
+        reward = max(0.0, rewards - costs)
+        s["last_action"] = action.copy()
+        return obs, reward, d.qpos.copy(), d.qvel.copy()
+
+
+def test_biped_reward_parity():
+    """State-coupled golden parity for the BIPED cost stack (upright,
+    front-contact, crossed-legs, low-hips, abduction, unwanted-contact,
+    self-collision, ...) on the torque model from the ready pose."""
+    env = Go1Env(Go1Config(ctrl_type="torque", biped=True,
+                           fallen_start_prob=0.0))
+    mj = mujoco.MjModel.from_xml_string(go1_xml("torque"))
+    oracle = BipedOracle(mj)
+    rng_a = np.random.default_rng(11)
+    state, info = _run_parity(
+        env, oracle, 25, lambda t: rng_a.uniform(-0.35, 0.35, 12),
+        atol_rew=5e-3,
+    )
+    assert "biped_upright_reward" in info and "self_collision_cost" in info
 
 
 def test_reset_distribution(env):
