@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from quadruped_tpu.utils import cache as _cache
+from quadruped_tpu.utils import tpu_jit
 _cache.enable()
 
 from quadruped_tpu.env.config import Go1Config
@@ -43,15 +44,15 @@ def build():
     variables = jax.tree.map(lambda x: x.astype(jnp.float32), variables)
 
     keys = jax.random.split(jax.random.PRNGKey(1), NUM_ENVS)
-    state = jax.jit(jax.vmap(env.reset))(keys)
+    state = tpu_jit(jax.vmap(env.reset))(keys)
     state = jax.tree.map(
         lambda x: x.astype(jnp.float32)
         if jnp.issubdtype(x.dtype, jnp.floating) else x,
         state,
     )
-    obs = jax.jit(jax.vmap(env.obs))(state).astype(jnp.float32)
+    obs = tpu_jit(jax.vmap(env.obs))(state).astype(jnp.float32)
 
-    @jax.jit
+    @tpu_jit
     def step(variables, state, obs, rng):
         """ONE control step per program: policy sample + 10 physics
         substeps + obs/reward + autoreset.  Bounded execution time."""

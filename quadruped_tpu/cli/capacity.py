@@ -19,6 +19,8 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+from ..utils import tpu_jit
 import numpy as np
 
 
@@ -37,10 +39,10 @@ def probe(counts, steps: int = 20, ctrl_type: str = "torque"):
         try:
             keys = jax.random.split(jax.random.PRNGKey(1), n)
             t0 = time.perf_counter()
-            state = jax.jit(jax.vmap(env.reset))(keys)
-            obs = jax.jit(jax.vmap(env.obs))(state)
+            state = tpu_jit(jax.vmap(env.reset))(keys)
+            obs = tpu_jit(jax.vmap(env.obs))(state)
 
-            @jax.jit
+            @tpu_jit
             def rollout(variables, state, obs, rng, T=steps):
                 def body(carry, _):
                     state, obs, rng = carry

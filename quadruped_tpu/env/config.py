@@ -82,7 +82,7 @@ class Go1Config:
     # dynamics and the collision/unwanted-contact costs observe them;
     # "plane" restricts to geom-vs-floor for speed experiments.
     collision_mode: str = "full"
-    max_contacts: int = 128                  # top-K solver slots (full mode)
+    max_contacts: int = 48                   # top-K solver slots (deep-fall states reach 46 real contacts; see tools/mjcount)
 
     frame_skip: int = 10                     # go1_mujoco_env.py:49
     max_episode_time: float = 120.0          # go1_mujoco_env.py:64

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import optax
 
 from ..env.go1 import Go1Env
+from ..utils import tpu_jit
 from ..models.actor_critic import Policy
 
 
@@ -304,17 +305,17 @@ class PPO:
         )
         return ts, metrics
 
-    @partial(jax.jit, static_argnums=0)
+    @partial(tpu_jit, static_argnums=0)
     def train_iteration(self, ts: TrainState):
         return self._train_iteration_impl(ts)
 
     # ------------------------------------------------- chunked iteration
 
-    @partial(jax.jit, static_argnums=(0, 2))
+    @partial(tpu_jit, static_argnums=(0, 2))
     def _rollout_chunk(self, ts: TrainState, length: int):
         return self.rollout(ts, length=length)
 
-    @partial(jax.jit, static_argnums=0)
+    @partial(tpu_jit, static_argnums=0)
     def _update_with_metrics(self, ts: TrainState, traj: Transition):
         ts, metrics = self.update(ts, traj)
         metrics = dict(

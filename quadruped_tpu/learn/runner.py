@@ -28,6 +28,7 @@ import numpy as np
 from .. import checkpoint as ckpt
 from ..env.go1 import Go1Env
 from ..models.actor_critic import Policy
+from ..utils import tpu_jit
 from ..viz import plots
 from .ppo import PPO, PPOConfig, TrainState
 
@@ -117,7 +118,7 @@ class Runner:
             rngs = jax.random.split(rng, self.cfg.n_eval_episodes)
             return jax.vmap(one_episode, in_axes=(None, 0))(variables, rngs)
 
-        return jax.jit(evaluate)
+        return tpu_jit(evaluate)
 
     def evaluate(self, ts: TrainState, rng):
         if self._eval_fn is None:

@@ -1,0 +1,394 @@
+"""Pallas TPU megakernel for the batched Newton constraint solve.
+
+This is the hot op of the whole framework: 10 physics substeps x N Newton
+iterations per env control step (reference equivalent: MuJoCo's Newton
+solver inside mj_step, SURVEY.md C13).  The XLA/vmap formulation puts the
+env batch on axis 0 and leaves the MXU/VPU idle on (nefc, 18)-shaped
+per-env matrices; this kernel flips the layout so the ENV BATCH rides the
+128-wide lane axis and every operation is a full-width VPU op:
+
+  * grid over env blocks of BLK=128 (lane-exact); every per-env scalar is
+    a (1, 128) vector, every row-vector a (rows, 128) tile
+  * J (nefc, nv, BLK) stays resident in VMEM across ALL Newton iterations
+    and line-search evaluations: zero HBM traffic inside the solve
+  * the Newton loop is a lax.fori_loop (compile-once); the 18x18 Cholesky
+    is an unrolled right-looking rank-1 sweep over (nv, nv, BLK) tiles
+  * float32 robustness mirrors physics/solver.py: failed-pivot detection
+    via the last Cholesky diagonal, a 1e-3*maxdiag Levenberg retry, a
+    zeroed step if both factorizations fail, and NaN-safe argmin
+
+The numerics are shared with the non-pallas world through `newton_core`,
+a pure batch-last jnp function: the pallas kernel body just reads refs,
+calls it, and writes refs, so tests (tests/test_ops.py) can pin the exact
+same code against the oracle-verified single-env path without a TPU.
+Only the padded contact layout (row_con is None: ncon x 6 rows) is
+supported — the env always compiles that layout when max_contacts
+(top-K) is set.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 128          # env block = lane width
+_N_LADDER = 16     # 4.0 * 0.5^k, k=0..15 (matches solver._LS_ALPHAS)
+_SHIFT = 1e-3      # Levenberg retry scale (x maxdiag) on failed Cholesky
+
+
+def _s2(x):
+    """Reduce (rows, B) -> (1, B) as a halving tree of static-slice adds.
+
+    Mosaic rejects vector.multi_reduction(ADD) over sublane dims whose
+    layout carries a nonzero offset (common after row slicing), so the
+    reduction is expressed purely with elementwise adds."""
+    n = x.shape[0]
+    while n > 1:
+        h = n // 2
+        y = x[:h] + x[h : 2 * h]
+        if n % 2:
+            if h == 1:
+                y = y + x[2 * h :]
+            else:
+                y = jnp.concatenate([y[0:1] + x[2 * h :], y[1:]], axis=0)
+        x = y
+        n = h
+    return x
+
+
+def _matvec(J, x):
+    """(rows, nv, B) x (nv, B) -> (rows, B); unrolled FMA over nv."""
+    nv = J.shape[1]
+    acc = J[:, 0, :] * x[0:1, :]
+    for i in range(1, nv):
+        acc = acc + J[:, i, :] * x[i : i + 1, :]
+    return acc
+
+
+def _rmatvec(J, f):
+    """(rows, nv, B) x (rows, B) -> (nv, B); reduce over rows."""
+    nv = J.shape[1]
+    return jnp.concatenate(
+        [_s2(J[:, i, :] * f) for i in range(nv)], axis=0
+    )
+
+
+def _cholesky(H, nv):
+    """Right-looking Cholesky on (nv, nv, B); returns lower L."""
+    A = H
+    cols = []
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
+    for j in range(nv):
+        pivot = jax.lax.rsqrt(A[j : j + 1, j, :])        # (1, B)
+        col = A[:, j, :] * pivot
+        col = jnp.where(rowid >= j, col, 0.0)
+        cols.append(col)
+        A = A - col[:, None, :] * col[None, :, :]
+    return jnp.stack(cols, axis=1)                       # (nv, nv, B)
+
+
+def _cho_solve(L, g, nv):
+    """Solve L L^T x = g for (nv, B) g with unrolled substitution."""
+    y = []
+    for i in range(nv):
+        s = g[i : i + 1, :]
+        for k in range(i):
+            s = s - L[i : i + 1, k, :] * y[k]
+        y.append(s / L[i : i + 1, i, :])
+    x = [None] * nv
+    for i in reversed(range(nv)):
+        s = y[i]
+        for k in range(i + 1, nv):
+            s = s - L[k : k + 1, i, :] * x[k]
+        x[i] = s / L[i : i + 1, i, :]
+    return jnp.concatenate(x, axis=0)
+
+
+def newton_core(
+    M, qs, warm, J, aref, D, R, floss, active,
+    scale, fscale, maskd, conact, Rn, mu,
+    *, nv, nf, nl, K, iterations,
+):
+    """Batch-LAST Newton solve on plain jnp arrays.
+
+    Shapes: M (nv,nv,B), qs/warm (nv,B), J (ne,nv,B), row vectors (ne,B),
+    contact metadata (K,...,B).  Returns (qacc (nv,B), f (ne,B),
+    qfrc (nv,B)).  This function is the pallas kernel body — see module
+    docstring."""
+    nfl = nf + nl
+    ne = nfl + 6 * K
+    Rn2 = Rn[:, None, :]                                # (K, 1, B)
+    mu2 = mu[:, None, :]
+    maskc = maskd * conact[:, None, :]                  # (K, 6, B)
+    Jc = J[nfl:].reshape(K, 6, nv, J.shape[-1])
+    ladder = [4.0 * 0.5**k for k in range(_N_LADDER)] + [0.0]
+
+    def S_of(z):
+        """Total penalty S(z) -> (1, B).  Mirrors solver._penalty_S."""
+        S = 0.0
+        if nf:
+            zf, Df, Rf, fl = z[:nf], D[:nf], R[:nf], floss[:nf]
+            quad = jnp.abs(Df * zf) <= fl
+            S = S + _s2(
+                jnp.where(quad, 0.5 * Df * zf * zf,
+                          fl * jnp.abs(zf) - 0.5 * fl * fl * Rf)
+            )
+        if nl:
+            zl, Dl = z[nf:nfl], D[nf:nfl]
+            act = (active[nf:nfl] > 0) & (zl < 0)
+            S = S + _s2(jnp.where(act, 0.5 * Dl * zl * zl, 0.0))
+        zc = z[nfl:].reshape(K, 6, z.shape[-1])
+        u = -(zc * scale * maskc) / Rn2
+        u0 = u[:, 0:1, :]
+        ut = u[:, 1:, :]
+        tt = sum(ut[:, d_ : d_ + 1, :] * ut[:, d_ : d_ + 1, :] for d_ in range(5))
+        t = jnp.sqrt(tt + 1e-30)
+        bottom = t <= mu2 * u0
+        top = mu2 * t <= -u0
+        usq = u0 * u0 + tt
+        al = (u0 + mu2 * t) / (1.0 + mu2 * mu2)
+        mid_d2 = usq - al * al * (1.0 + mu2 * mu2)
+        d2 = jnp.where(bottom, 0.0, jnp.where(top, usq, mid_d2))
+        s_con = 0.5 * Rn2 * (usq - d2)                  # (K, 1, B)
+        return S + _s2(s_con[:, 0, :])
+
+    def penalty_fw(z):
+        """Forces f(z), weights w(z), rank-1 cone rows + weights."""
+        f_parts, w_parts = [], []
+        if nf:
+            zf, Df, fl = z[:nf], D[:nf], floss[:nf]
+            f_unc = -Df * zf
+            quad = jnp.abs(f_unc) <= fl
+            f_parts.append(jnp.clip(f_unc, -fl, fl))
+            w_parts.append(jnp.where(quad, Df, 0.0))
+        if nl:
+            zl, Dl = z[nf:nfl], D[nf:nfl]
+            act = (active[nf:nfl] > 0) & (zl < 0)
+            f_parts.append(jnp.where(act, -Dl * zl, 0.0))
+            w_parts.append(jnp.where(act, Dl, 0.0))
+        zc = z[nfl:].reshape(K, 6, z.shape[-1])
+        u = -(zc * scale * maskc) / Rn2
+        u0 = u[:, 0:1, :]
+        ut = u[:, 1:, :]
+        tt = sum(ut[:, d_ : d_ + 1, :] * ut[:, d_ : d_ + 1, :] for d_ in range(5))
+        t = jnp.sqrt(tt + 1e-30)
+        bottom = t <= mu2 * u0
+        top = mu2 * t <= -u0
+        middle = ~(bottom | top)
+        al = (u0 + mu2 * t) / (1.0 + mu2 * mu2)
+        phi0 = jnp.where(bottom, u0, jnp.where(top, 0.0, al))
+        tdir = ut / t
+        phit = jnp.where(bottom, ut, jnp.where(top, 0.0, mu2 * al * tdir))
+        phi = jnp.concatenate([phi0, phit], axis=1)
+        f_parts.append((phi * fscale * maskc).reshape(6 * K, -1))
+
+        mid_c = mu2 * al / t                            # (K, 1, B)
+        diag_c = jnp.where(bottom, 1.0, jnp.where(top, 0.0, mid_c))
+        w_con = (diag_c * conact[:, None, :] / Rn2) * scale * scale * maskc
+        w_parts.append(w_con.reshape(6 * K, -1))
+
+        # rank-1 cone rows: U_e0 = (S e0)^T Jc, U_n = (S nhat)^T Jc,
+        # U_v = U_e0 + mu U_n ; weights per solver._penalty docstring
+        Sm = scale * maskc
+        U_e0 = Sm[:, 0:1, :] * Jc[:, 0, :, :]           # (K, nv, B)
+        U_n = (Sm[:, 1, :] * tdir[:, 0, :])[:, None, :] * Jc[:, 1, :, :]
+        for d_ in range(2, 6):
+            U_n = U_n + (Sm[:, d_, :] * tdir[:, d_ - 1, :])[:, None, :] \
+                * Jc[:, d_, :, :]
+        U_v = U_e0 + mu2 * U_n
+        is_mid = jnp.where(middle, 1.0, 0.0) * conact[:, None, :]
+        wV0 = (is_mid / ((1.0 + mu2 * mu2) * Rn2))[:, 0, :]   # (K, B)
+        wVn = (-is_mid * mid_c / Rn2)[:, 0, :]
+        f = jnp.concatenate(f_parts, axis=0)
+        w = jnp.concatenate(w_parts, axis=0)
+        return f, w, (U_v, U_e0, U_n), (wV0, wVn)
+
+    eye3 = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 1),
+        1.0, 0.0,
+    )
+
+    def newton_iter(_, a):
+        z = _matvec(J, a) - aref
+        f, w, (U_v, U_e0, U_n), (wV0, wVn) = penalty_fw(z)
+        Mda = _matvec(M, a - qs)
+        grad = Mda - _rmatvec(J, f)
+
+        # H = M + Gram over [all J rows | 3 rank-1 cone rows per contact].
+        # Two sweeps (J-part, rank-1-part) with no concatenated/weighted
+        # row copies: VMEM in the kernel is tight (J alone is ~2 MB/block)
+        Us = jnp.concatenate([U_v, U_e0, U_n], axis=0)   # (3K, nv, B)
+        wU = jnp.concatenate([wV0, wVn, wVn], axis=0)    # (3K, B)
+        cols = [[None] * nv for _ in range(nv)]
+        for i in range(nv):
+            Ji_w = J[:, i, :] * w
+            Ui_w = Us[:, i, :] * wU
+            for j2 in range(i, nv):
+                hij = _s2(Ji_w * J[:, j2, :]) + _s2(Ui_w * Us[:, j2, :])
+                cols[i][j2] = hij
+                cols[j2][i] = hij
+        H = jnp.stack(
+            [jnp.concatenate(cols[i], axis=0) for i in range(nv)], axis=0
+        ) + M + 1e-10 * eye3                            # (nv, nv, B)
+        diag = jnp.concatenate(
+            [H[i, i : i + 1, :] for i in range(nv)], axis=0
+        )
+
+        L1 = _cholesky(H, nv)
+        bad = ~jnp.isfinite(L1[nv - 1, nv - 1 : nv, :])  # (1, B)
+        md = diag[0:1]
+        for i_ in range(1, nv):
+            md = jnp.maximum(md, diag[i_ : i_ + 1])
+        shift = _SHIFT * md
+        L2 = _cholesky(H + shift[None] * eye3, nv)
+        L = jnp.where(bad[None], L2, L1)
+        delta = -_cho_solve(L, grad, nv)
+        ok = _s2(jnp.where(jnp.isfinite(delta), 0.0, 1.0)) == 0.0
+        delta = jnp.where(ok, delta, 0.0)
+
+        Jd = _matvec(J, delta)
+        Md = _matvec(M, delta)
+        qa = 0.5 * _s2(delta * Md)                      # (1, B)
+        qb = _s2(delta * Mda)
+
+        phis = []
+        for al_k in ladder:
+            Sk = S_of(z + al_k * Jd)
+            pk = al_k * qb + (al_k * al_k) * qa + Sk
+            phis.append(jnp.where(jnp.isnan(pk), jnp.inf, pk))
+
+        # NaN-safe argmin over the ladder (unrolled, small)
+        best_phi = phis[0]
+        best_idx = jnp.zeros_like(best_phi, dtype=jnp.int32)
+        for k in range(1, len(ladder)):
+            take = phis[k] < best_phi
+            best_phi = jnp.where(take, phis[k], best_phi)
+            best_idx = jnp.where(take, k, best_idx)
+
+        ladder_j = [jnp.float32(v) for v in ladder]
+
+        def alpha_of(idx):
+            out = jnp.zeros_like(best_phi)
+            for k, v in enumerate(ladder_j):
+                out = jnp.where(idx == k, v, out)
+            return out
+
+        def phi_of(idx):
+            out = jnp.zeros_like(best_phi)
+            for k in range(len(ladder)):
+                out = jnp.where(idx == k, phis[k], out)
+            return out
+
+        a_best = alpha_of(best_idx)
+
+        # parabolic refinement around the best ladder candidate
+        il = jnp.clip(best_idx, 1, _N_LADDER - 1)
+        p_lo, p_mid, p_hi = phi_of(il - 1), phi_of(il), phi_of(il + 1)
+        a_lo, a_mid, a_hi = alpha_of(il - 1), alpha_of(il), alpha_of(il + 1)
+        d_lo = (p_lo - p_mid) / jnp.maximum(a_lo - a_mid, 1e-30)
+        d_hi = (p_mid - p_hi) / jnp.where(
+            jnp.abs(a_mid - a_hi) > 0, a_mid - a_hi, 1e-30
+        )
+        curv = (d_lo - d_hi) / jnp.maximum(a_lo - a_hi, 1e-30)
+        vertex = 0.5 * (a_lo + a_mid) - 0.5 * d_lo / jnp.where(
+            curv > 1e-30, curv, 1e30
+        )
+        vertex = jnp.clip(vertex, 0.0, 4.0)
+        S_v = S_of(z + vertex * Jd)
+        phi_v = vertex * qb + vertex * vertex * qa + S_v
+        alpha = jnp.where(phi_v < best_phi, vertex, a_best)
+        return a + alpha * delta
+
+    a = jax.lax.fori_loop(0, iterations, newton_iter, warm)
+    z = _matvec(J, a) - aref
+    f, _w, _U, _wV = penalty_fw(z)
+    return a, f, _rmatvec(J, f)
+
+
+def _make_kernel(nv, nf, nl, K, iterations):
+    def kernel(
+        M_ref, qs_ref, warm_ref, J_ref, aref_ref, D_ref, R_ref, floss_ref,
+        active_ref, scale_ref, fscale_ref, maskd_ref, conact_ref, Rn_ref,
+        mu_ref, qacc_ref, f_ref, qfrc_ref,
+    ):
+        qacc, f, qfrc = newton_core(
+            M_ref[:], qs_ref[:], warm_ref[:], J_ref[:], aref_ref[:],
+            D_ref[:], R_ref[:], floss_ref[:], active_ref[:], scale_ref[:],
+            fscale_ref[:], maskd_ref[:], conact_ref[:], Rn_ref[:],
+            mu_ref[:], nv=nv, nf=nf, nl=nl, K=K, iterations=iterations,
+        )
+        qacc_ref[:] = qacc
+        f_ref[:] = f
+        qfrc_ref[:] = qfrc
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nv", "nf", "nl", "K", "iterations", "interpret")
+)
+def newton_solve_batched(
+    M, qacc_smooth, warmstart, J, aref, D, R, floss, active,
+    con_scale, con_fscale, con_dim_mask, con_active, con_Rn, con_mu,
+    *, nv, nf, nl, K, iterations, interpret=False,
+):
+    """Batched Newton solve.  All array args are batch-FIRST (B, ...) and
+    float32; returns (qacc (B,nv), f (B,ne), qfrc (B,nv)).
+
+    B is padded to a multiple of BLK=128 internally (edge padding so the
+    padded lanes factor cleanly and cannot produce Inf/NaN spills)."""
+    ne = nf + nl + 6 * K
+    B = qacc_smooth.shape[0]
+    Bp = -(-B // BLK) * BLK
+
+    def prep(x):
+        x = jnp.asarray(x, jnp.float32)
+        if Bp != B:
+            pad = [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, pad, mode="edge")
+        return jnp.moveaxis(x, 0, -1)  # batch-last
+
+    args = [
+        prep(M), prep(qacc_smooth), prep(warmstart), prep(J), prep(aref),
+        prep(D), prep(R), prep(floss), prep(active.astype(jnp.float32)),
+        prep(con_scale), prep(con_fscale),
+        prep(con_dim_mask.astype(jnp.float32)),
+        prep(con_active.astype(jnp.float32)), prep(con_Rn), prep(con_mu),
+    ]
+
+    kernel = _make_kernel(nv, nf, nl, K, iterations)
+    grid = (Bp // BLK,)
+
+    def spec(*lead):
+        nlead = len(lead)
+        return pl.BlockSpec(
+            lead + (BLK,),
+            (lambda i, _n=nlead: (0,) * _n + (i,)),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((nv, Bp), jnp.float32),   # qacc
+        jax.ShapeDtypeStruct((ne, Bp), jnp.float32),   # f
+        jax.ShapeDtypeStruct((nv, Bp), jnp.float32),   # qfrc
+    ]
+    qacc, f, qfrc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec(nv, nv), spec(nv), spec(nv), spec(ne, nv), spec(ne),
+            spec(ne), spec(ne), spec(ne), spec(ne), spec(K, 6), spec(K, 6),
+            spec(K, 6), spec(K), spec(K), spec(K),
+        ],
+        out_specs=[spec(nv), spec(ne), spec(nv)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+
+    post = lambda x: jnp.moveaxis(x, -1, 0)[:B]
+    return post(qacc), post(f), post(qfrc)

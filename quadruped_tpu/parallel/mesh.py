@@ -83,4 +83,5 @@ def multichip_train_iteration(trainer: PPO, mesh: Mesh, ts: TrainState,
         metrics = {k: jax.lax.pmean(v, axis) for k, v in metrics.items()}
         return ts, metrics
 
-    return jax.jit(iteration)
+    from ..utils import tpu_jit
+    return tpu_jit(iteration)

@@ -245,16 +245,93 @@ def solve(
     warmstart: jax.Array | None = None,
     iterations: int | None = None,
 ):
-    """Newton iterations; returns (qacc, qfrc_constraint, contact_force)."""
+    """Newton iterations; returns (qacc, qfrc_constraint, contact_force).
+
+    Dispatch: called un-vmapped this runs the XLA single-env path below
+    (the oracle-parity configuration).  Under jax.vmap — i.e. in every
+    batched training/bench rollout — a custom_vmap rule reroutes the
+    whole Newton loop to the Pallas lane-batched megakernel
+    (ops/newton.py) when the layout/dtype allow, which is the difference
+    between idle and saturated VPU lanes at large env batches."""
+    iters = iterations if iterations is not None else m.opt.iterations
+    a0 = qacc_smooth if warmstart is None else warmstart
+    return _solver_core(m, iters)(M, qacc_smooth, a0, efc)
+
+
+_CORE_CACHE: dict[tuple, object] = {}
+
+
+def _solver_core(m: PhysicsModel, iters: int):
+    key = (id(m), iters)
+    if key not in _CORE_CACHE:
+        from jax import custom_batching
+
+        @custom_batching.custom_vmap
+        def core(M, qacc_smooth, a0, efc):
+            return _solve_single(m, M, qacc_smooth, efc, a0, iters)
+
+        @core.def_vmap
+        def _rule(axis_size, in_batched, M, qacc_smooth, a0, efc):
+            args = (M, qacc_smooth, a0, efc)
+            flat, treedef = jax.tree.flatten(args)
+            flat_b = jax.tree.leaves(in_batched)
+            flat = [
+                x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+                for x, b in zip(flat, flat_b)
+            ]
+            M_, qs_, a0_, efc_ = jax.tree.unflatten(treedef, flat)
+            ncon = efc_.con_dist.shape[-1]
+            use_kernel = (
+                efc_.row_con is None
+                and ncon > 0
+                and qs_.dtype == jnp.float32
+            )
+            if use_kernel:
+                from ..ops.newton import newton_solve_batched
+
+                nv = qs_.shape[-1]
+                qacc, f, qfrc = newton_solve_batched(
+                    M_, qs_, a0_, efc_.J, efc_.aref, efc_.D, efc_.R,
+                    efc_.floss, efc_.active, efc_.con_scale,
+                    efc_.con_fscale, efc_.con_dim_mask, efc_.con_active,
+                    efc_.con_Rn, efc_.con_mu_tilde,
+                    nv=nv, nf=efc_.nf, nl=efc_.nl, K=ncon,
+                    iterations=iters,
+                    interpret=jax.default_backend() == "cpu",
+                )
+                nfl = efc_.nf + efc_.nl
+                con_force = f[:, nfl:].reshape(f.shape[0], ncon, 6)
+                out = (qacc, qfrc, con_force)
+            else:
+                out = jax.vmap(
+                    lambda Mx, qx, ax, ex: _solve_single(
+                        m, Mx, qx, ex, ax, iters
+                    )
+                )(M_, qs_, a0_, efc_)
+            return out, jax.tree.map(lambda _: True, out)
+
+        _CORE_CACHE[key] = core
+    return _CORE_CACHE[key]
+
+
+def _solve_single(
+    m: PhysicsModel,
+    M: jax.Array,
+    qacc_smooth: jax.Array,
+    efc: Efc,
+    warmstart: jax.Array,
+    iterations: int,
+):
+    """Single-env XLA Newton solve (oracle-exact reference path)."""
     dtype = qacc_smooth.dtype
     nv = qacc_smooth.shape[0]
-    iters = iterations if iterations is not None else m.opt.iterations
+    iters = iterations
     prec = jax.lax.Precision(
         {"default": "default", "high": "high", "highest": "highest"}[
             m.opt.solver_precision
         ]
     )
-    a0 = qacc_smooth if warmstart is None else warmstart
+    a0 = warmstart
     eye = jnp.eye(nv, dtype=dtype) * 1e-10
 
     ncon = efc.con_dist.shape[0]

@@ -1,0 +1,128 @@
+"""Pallas Newton megakernel vs single-env XLA solver equivalence.
+
+The kernel (quadruped_tpu/ops/newton.py) re-implements the Newton solve
+with the env batch on the lane axis; these tests pin it against the
+oracle-verified single-env path (physics/solver.py) on CPU via Pallas
+interpret mode — the same dispatch (custom_vmap rule) that routes real
+TPU training batches into the kernel.
+"""
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadruped_tpu.env.config import Go1Config
+from quadruped_tpu.env.go1 import Go1Env
+from quadruped_tpu.physics.constraint import assemble
+from quadruped_tpu.physics.kinematics import fk
+from quadruped_tpu.physics.smooth import smooth_dynamics
+from quadruped_tpu.physics.solver import solve
+
+DATA = pathlib.Path(__file__).parent / "data"
+ITERS = int(__import__("os").environ.get("OPS_ITERS", 6))
+
+
+@pytest.fixture(scope="module")
+def env():
+    return Go1Env(Go1Config(ctrl_type="torque"))
+
+
+def _batch_inputs(env, B=3):
+    """(M, qacc_smooth, efc, warm) batched over B perturbed f32 states."""
+    m = env.m
+    pl_ = env.pipeline
+    d = np.load(DATA / "stiff_contact_state.npz")
+    params = {
+        k[6:]: jnp.asarray(d[k], jnp.float32)
+        for k in d.files
+        if k.startswith("param_")
+    }
+    home = np.asarray(env.key_qpos, np.float32)
+    rng = np.random.default_rng(0)
+    qps, qvs = [], []
+    for i in range(B):
+        if i % 2 == 0:
+            # well-conditioned standing states: near-keyframe, light noise.
+            # (Deep-penetration states have near-flat objective valleys
+            # where truncated-iteration qacc is not a stable contract —
+            # those are covered by the finiteness test via env 1.)
+            qp = home + rng.normal(0, 0.005, home.shape).astype(np.float32)
+            qv = rng.normal(0, 0.1, m.nv).astype(np.float32)
+        else:
+            qp = d["qpos"].astype(np.float32)
+            qv = d["qvel"].astype(np.float32)
+        qps.append(qp)
+        qvs.append(qv)
+    qps = jnp.asarray(np.stack(qps))
+    qvs = jnp.asarray(np.stack(qvs))
+    ctrl = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (B, m.nu)).astype(np.float32)
+    )
+
+    def prep(qp, qv, c):
+        kin = fk(m, qp, qv)
+        M, L, qfs, qacc_smooth, qfa = smooth_dynamics(
+            m, params, kin, qp, qv, c
+        )
+        efc = assemble(m, pl_.layout, pl_.table, kin, qp, qv)
+        return M, qacc_smooth, efc
+
+    M, qs, efc = jax.vmap(prep)(qps, qvs, ctrl)
+    return m, M, qs, efc
+
+
+def test_kernel_matches_single_path(env):
+    m, M, qs, efc = _batch_inputs(env)
+    B = qs.shape[0]
+
+    # batched path -> custom_vmap rule -> Pallas kernel (interpret on CPU)
+    qacc_b, qfrc_b, conf_b = jax.vmap(
+        lambda Mx, qx, ex: solve(m, Mx, qx, ex, iterations=ITERS)
+    )(M, qs, efc)
+
+    # reference: single-env XLA path, env by env
+    for i in range(B):
+        efc_i = jax.tree.map(lambda x: x[i], efc)
+        qacc_s, qfrc_s, conf_s = solve(
+            m, M[i], qs[i], efc_i, iterations=ITERS
+        )
+        scale = 1.0 + float(jnp.abs(qacc_s).max())
+        # stiff fixture env: truncated-iteration qacc wanders in the
+        # near-flat objective valley, so pin it loosely; clean states tight
+        tol = 5e-2 if i % 2 == 1 else 5e-3
+        np.testing.assert_allclose(
+            np.asarray(qacc_b[i]) / scale, np.asarray(qacc_s) / scale,
+            atol=tol, err_msg=f"qacc mismatch env {i}",
+        )
+        if i % 2 == 1:
+            # stiff fixture env: constraint forces along near-rigid modes
+            # are hypersensitive to the remaining Newton residual (f = D z
+            # with D ~ 2e3), so at the test's truncated iteration count
+            # only qacc is comparable; force convergence on ordinary
+            # states is pinned below
+            continue
+        fscale = 1.0 + float(jnp.abs(qfrc_s).max())
+        np.testing.assert_allclose(
+            np.asarray(qfrc_b[i]) / fscale, np.asarray(qfrc_s) / fscale,
+            atol=2e-2, err_msg=f"qfrc mismatch env {i}",
+        )
+        cscale = 1.0 + float(jnp.abs(conf_s).max())
+        np.testing.assert_allclose(
+            np.asarray(conf_b[i]) / cscale, np.asarray(conf_s) / cscale,
+            atol=2e-2, err_msg=f"con_force mismatch env {i}",
+        )
+
+
+def test_kernel_finite_on_stiff_state(env):
+    """The float32 robustness guards (Cholesky retry, NaN-safe argmin)
+    must hold inside the kernel on the captured pre-NaN state."""
+    m, M, qs, efc = _batch_inputs(env)
+    qacc_b, qfrc_b, conf_b = jax.vmap(
+        lambda Mx, qx, ex: solve(m, Mx, qx, ex, iterations=ITERS)
+    )(M, qs, efc)
+    assert bool(jnp.isfinite(qacc_b).all())
+    assert bool(jnp.isfinite(qfrc_b).all())
+    assert bool(jnp.isfinite(conf_b).all())
