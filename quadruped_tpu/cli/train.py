@@ -53,10 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["plane", "full"])
     p.add_argument("--no_videos", action="store_true")
     p.add_argument("--checkpoint_interval", type=int, default=500_000)
-    p.add_argument("--rollout_chunk", type=int, default=None,
-                   help="Control steps per jitted rollout program (None = "
-                        "whole rollout fused; set small on runtimes that "
-                        "bound single-program execution time).")
+    p.add_argument("--rollout_chunk", type=int, default=1,
+                   help="Control steps per jitted rollout program (0 = "
+                        "whole rollout fused in one program; the default 1 "
+                        "keeps each program's execution time bounded, which "
+                        "the axon TPU runtime requires at large batches).")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="Capture a jax.profiler trace of a few training "
                         "iterations to this directory (view with "
@@ -90,7 +91,7 @@ def run_train(args):
         learning_rate=args.learning_rate,
         num_minibatches=args.num_minibatches,
         n_epochs=args.n_epochs,
-        rollout_chunk=args.rollout_chunk,
+        rollout_chunk=args.rollout_chunk or None,
     )
     run_cfg = RunnerConfig(
         total_timesteps=args.total_timesteps,

@@ -68,66 +68,87 @@ class Runner:
 
     # ------------------------------------------------------------- evaluation
 
+    # Single XLA programs that execute longer than a few seconds crash the
+    # axon TPU worker, so the eval episode is dispatched as short jitted
+    # chunks from the host — the same treatment the training rollout gets
+    # via PPOConfig.rollout_chunk.
+    _EVAL_CHUNK = 25
+
     def _build_eval(self):
         env, policy = self.env, self.trainer.policy
-        T = min(
-            int(self.cfg.eval_max_time / env.cfg.dt), env.cfg.max_episode_steps
-        )
 
-        def one_episode(variables, rng):
-            state = env.reset(rng)
-            obs = env.obs(state)
-
-            def body(carry, _):
-                state, obs, done, ep_rew, ep_len = carry
-                action, _ = policy.act_deterministic(
-                    variables, obs.astype(jnp.float32)
-                )
-                state2, obs2, reward, term, trunc, info = env.step(
-                    state, action
-                )
-                ep_rew = ep_rew + jnp.where(done, 0.0, reward)
-                ep_len = ep_len + jnp.where(done, 0, 1)
-                done2 = done | term | trunc
-                keep = lambda a, b: jnp.where(done, a, b)
-                state = jax.tree.map(keep, state, state2)
-                obs = keep(obs, obs2)
-                out = {
-                    "qpos": state.qpos,
-                    "reward": reward,
-                    "terminated": term & ~done,
-                    "termination_reason": info["termination_reason"],
-                    "distance_from_origin": info["distance_from_origin"],
-                    "bipedal_success": info["bipedal_success"],
-                    "reward_components": {
-                        k: v for k, v in info.items()
-                        if k.endswith("_reward") or k.endswith("_cost")
-                        or k.startswith("reward_")
-                    },
-                }
-                return (state, obs, done2, ep_rew, ep_len), out
-
-            init = (state, obs, jnp.zeros((), bool), jnp.zeros(()), 0)
-            (state, obs, done, ep_rew, ep_len), out = jax.lax.scan(
-                body, init, None, length=T
+        def body(variables, carry, _):
+            state, obs, done, ep_rew, ep_len = carry
+            action, _ = policy.act_deterministic(
+                variables, obs.astype(jnp.float32)
             )
-            success = (~done) | out["bipedal_success"][-1]
-            return ep_rew, ep_len, success, out
+            state2, obs2, reward, term, trunc, info = env.step(state, action)
+            ep_rew = ep_rew + jnp.where(done, 0.0, reward)
+            ep_len = ep_len + jnp.where(done, 0, 1)
+            done2 = done | term | trunc
+            keep = lambda a, b: jnp.where(done, a, b)
+            state = jax.tree.map(keep, state, state2)
+            obs = keep(obs, obs2)
+            out = {
+                "qpos": state.qpos,
+                "reward": reward,
+                "terminated": term & ~done,
+                "termination_reason": info["termination_reason"],
+                "distance_from_origin": info["distance_from_origin"],
+                "bipedal_success": info["bipedal_success"],
+                "reward_components": {
+                    k: v for k, v in info.items()
+                    if k.endswith("_reward") or k.endswith("_cost")
+                    or k.startswith("reward_")
+                },
+            }
+            return (state, obs, done2, ep_rew, ep_len), out
 
-        def evaluate(variables, rng):
-            rngs = jax.random.split(rng, self.cfg.n_eval_episodes)
-            return jax.vmap(one_episode, in_axes=(None, 0))(variables, rngs)
+        @tpu_jit
+        def eval_init(rngs):
+            state = jax.vmap(env.reset)(rngs)
+            obs = jax.vmap(env.obs)(state)
+            n = rngs.shape[0]
+            return (
+                state, obs, jnp.zeros((n,), bool), jnp.zeros((n,)),
+                jnp.zeros((n,), jnp.int32),
+            )
 
-        return tpu_jit(evaluate)
+        @tpu_jit
+        def eval_chunk(variables, carry):
+            step = jax.vmap(
+                lambda c: body(variables, c, None), in_axes=0, out_axes=0
+            )
+            return jax.lax.scan(
+                lambda c, _: step(c), carry, None, length=self._EVAL_CHUNK
+            )
+
+        return eval_init, eval_chunk
 
     def evaluate(self, ts: TrainState, rng):
         if self._eval_fn is None:
             self._eval_fn = self._build_eval()
-        ep_rew, ep_len, success, out = self._eval_fn(ts.params, rng)
-        return (
-            np.asarray(ep_rew), np.asarray(ep_len), np.asarray(success),
-            jax.tree.map(np.asarray, out),
+        eval_init, eval_chunk = self._eval_fn
+        T = min(
+            int(self.cfg.eval_max_time / self.env.cfg.dt),
+            self.env.cfg.max_episode_steps,
         )
+        rngs = jax.random.split(rng, self.cfg.n_eval_episodes)
+        carry = eval_init(rngs)
+        outs = []
+        for _ in range(-(-T // self._EVAL_CHUNK)):
+            carry, out = eval_chunk(ts.params, carry)
+            outs.append(jax.tree.map(np.asarray, out))
+        _state, _obs, done, ep_rew, ep_len = carry
+        # n_chunks x (CH, B, ...) -> (B, T, ...), the layout the train loop
+        # consumed from the previous single-program vmap(one_episode) form
+        out = jax.tree.map(
+            lambda *xs: np.moveaxis(np.concatenate(xs, axis=0), 0, 1)[:, :T],
+            *outs,
+        )
+        done = np.asarray(done)
+        success = (~done) | np.asarray(out["bipedal_success"][:, -1])
+        return np.asarray(ep_rew), np.asarray(ep_len), success, out
 
     # ----------------------------------------------------------------- train
 

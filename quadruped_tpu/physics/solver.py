@@ -281,10 +281,19 @@ def _solver_core(m: PhysicsModel, iters: int):
             ]
             M_, qs_, a0_, efc_ = jax.tree.unflatten(treedef, flat)
             ncon = efc_.con_dist.shape[-1]
+            import os
+
+            # On CPU the kernel only runs under the (slow) pallas
+            # interpreter — useful for pinning kernel numerics in tests
+            # (QTPU_KERNEL_ON_CPU=1) but wrong for real CPU work like the
+            # virtual-mesh multichip dryrun, which takes the compiled
+            # vmap fallback instead.
+            cpu_ok = os.environ.get("QTPU_KERNEL_ON_CPU") == "1"
             use_kernel = (
                 efc_.row_con is None
                 and ncon > 0
                 and qs_.dtype == jnp.float32
+                and (jax.default_backend() != "cpu" or cpu_ok)
             )
             if use_kernel:
                 from ..ops.newton import newton_solve_batched

@@ -7,7 +7,10 @@ interpret mode — the same dispatch (custom_vmap rule) that routes real
 TPU training batches into the kernel.
 """
 
+import os
 import pathlib
+
+os.environ["QTPU_KERNEL_ON_CPU"] = "1"  # run the pallas kernel under interpret
 
 import jax
 import jax.numpy as jnp
