@@ -177,7 +177,9 @@ class Runner:
 
         writer = None
         try:
-            from torch.utils.tensorboard import SummaryWriter
+            # dependency-free scalar writer: torch's TensorBoard backend
+            # (libtensorflow_framework) segfaulted mid-run (utils/tb.py)
+            from ..utils.tb import SummaryWriter
 
             writer = SummaryWriter(str(Path(cfg.log_dir) / run_name))
         except Exception:
