@@ -26,17 +26,100 @@ def _ensure_gl():
     os.environ.setdefault("MUJOCO_GL", "egl")
 
 
+def _visual_scene_path(ctrl_type: str) -> str | None:
+    """Optional photoreal robot description (visual STL meshes).
+
+    The framework ships only the physics constants; if the user points
+    QTPU_VISUAL_SCENE at an MJCF with visual meshes (e.g. the upstream
+    unitree_go1 scene_{ctrl_type}.xml — same joints, so qpos replays
+    directly), videos render with the full mesh look of the reference
+    (train.py:53-61 1024x768 'tracking' camera).  Falls back to probing
+    the conventional checkout location."""
+    import glob
+
+    cand = os.environ.get("QTPU_VISUAL_SCENE")
+    if cand and os.path.exists(cand):
+        return cand
+    for pat in (
+        f"/root/reference/unitree_go1/scene_{ctrl_type}.xml",
+        f"unitree_go1/scene_{ctrl_type}.xml",
+    ):
+        hits = glob.glob(pat)
+        if hits:
+            return hits[0]
+    return None
+
+
+def _box_stl(hx: float, hy: float, hz: float) -> bytes:
+    """Binary STL of an axis-aligned box with half-sizes (hx, hy, hz)."""
+    import struct
+
+    v = [
+        (sx * hx, sy * hy, sz * hz)
+        for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
+    ]
+    faces = [
+        (0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5),   # x- x+
+        (0, 4, 5), (0, 5, 1), (2, 3, 7), (2, 7, 6),   # y- y+
+        (0, 2, 6), (0, 6, 4), (1, 5, 7), (1, 7, 3),   # z- z+
+    ]
+    out = b"\x00" * 80 + struct.pack("<I", len(faces))
+    for a, b, c in faces:
+        out += struct.pack("<3f", 0, 0, 0)
+        for p in (v[a], v[b], v[c]):
+            out += struct.pack("<3f", *p)
+        out += b"\x00\x00"
+    return out
+
+
 def _make_renderer(ctrl_type: str, width: int, height: int):
-    """mujoco renderer over our exported XML (collision geoms, group 3)."""
+    """mujoco renderer: photoreal visual scene when available, otherwise
+    our exported physics XML (collision geoms, group 3)."""
     global _RENDERER, _RENDER_MODEL
     _ensure_gl()
     import mujoco
+
+    visual = _visual_scene_path(ctrl_type)
+    if visual is not None:
+        try:
+            # the upstream XML references includes/STLs without a meshdir;
+            # hand the loader a virtual filesystem keyed by basename
+            import glob as _glob
+
+            base = os.path.dirname(visual)
+            xml = open(visual).read()
+            assets = {}
+            for f in _glob.glob(os.path.join(base, "*.xml")):
+                assets[os.path.basename(f)] = open(f, "rb").read()
+            for f in _glob.glob(os.path.join(base, "assets", "*")):
+                # mujoco keys virtual files by basename; the XML references
+                # them as assets/<name>
+                assets["assets/" + os.path.basename(f)] = open(f, "rb").read()
+            # the upstream checkout is missing trunk.stl (its own visual
+            # rendering is broken, preview_initial_pose.py crashes); give
+            # any missing mesh a synthesized box so the legs still render
+            # with their real meshes
+            import re
+
+            robot_xmls = [
+                assets[k].decode() for k in assets if k.endswith(".xml")
+            ] + [xml]
+            for rx in robot_xmls:
+                for fname in re.findall(r'file="([^"]+\.stl)"', rx):
+                    key = "assets/" + os.path.basename(fname)
+                    if key not in assets:
+                        assets[key] = _box_stl(0.1335, 0.097, 0.057)
+            mj = mujoco.MjModel.from_xml_string(xml, assets)
+            renderer = mujoco.Renderer(mj, height=height, width=width)
+            return mj, renderer, True
+        except Exception:
+            pass
 
     from ..assets import go1_xml
 
     mj = mujoco.MjModel.from_xml_string(go1_xml(ctrl_type))
     renderer = mujoco.Renderer(mj, height=height, width=width)
-    return mj, renderer
+    return mj, renderer, False
 
 
 class TrajectoryRenderer:
@@ -48,30 +131,35 @@ class TrajectoryRenderer:
         self.ctrl_type = ctrl_type
         self.backend = "none"
         try:
-            self.mj, self.renderer = _make_renderer(ctrl_type, width, height)
+            self.mj, self.renderer, visual = _make_renderer(
+                ctrl_type, width, height
+            )
             import mujoco
 
             self.d = mujoco.MjData(self.mj)
             self._mujoco = mujoco
-            # show collision geoms (group 3) — the exported model carries no
-            # visual meshes
             self.scene_option = mujoco.MjvOption()
-            self.scene_option.geomgroup[:] = 0
-            self.scene_option.geomgroup[3] = 1
-            self.scene_option.geomgroup[0] = 1
+            if visual:
+                # mesh-visual model: default geom groups show the meshes
+                self.backend = "mujoco-visual"
+            else:
+                # physics-only model: show collision geoms (group 3)
+                self.scene_option.geomgroup[:] = 0
+                self.scene_option.geomgroup[3] = 1
+                self.scene_option.geomgroup[0] = 1
+                self.backend = "mujoco"
             # tracking camera equivalent (reference camera "tracking",
             # go1_torque.xml:84)
             self.camera = mujoco.MjvCamera()
             self.camera.distance = 2.0
             self.camera.elevation = -20.0
             self.camera.azimuth = 90.0
-            self.backend = "mujoco"
         except Exception as e:  # pragma: no cover - GL-less hosts
             self._err = e
             self.backend = "wireframe"
 
     def frame(self, qpos: np.ndarray) -> np.ndarray:
-        if self.backend == "mujoco":
+        if self.backend.startswith("mujoco"):
             self.d.qpos[:] = qpos
             self._mujoco.mj_forward(self.mj, self.d)
             self.camera.lookat[:] = self.d.qpos[:3]
@@ -113,7 +201,7 @@ class TrajectoryRenderer:
         return img
 
     def close(self):
-        if self.backend == "mujoco":
+        if self.backend.startswith("mujoco"):
             self.renderer.close()
 
 
