@@ -38,7 +38,11 @@ BASELINE = 1.0e6
 
 
 def build():
-    env = Go1Env(Go1Config(ctrl_type="torque"))
+    it = os.environ.get("QTPU_SOLVER_ITERS")
+    env = Go1Env(Go1Config(
+        ctrl_type="torque",
+        solver_iterations=int(it) if it else None,
+    ))
     policy = Policy.make(act_dim=env.nu)
     variables = policy.init(jax.random.PRNGKey(0))
     variables = jax.tree.map(lambda x: x.astype(jnp.float32), variables)

@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "whole rollout fused in one program; the default 1 "
                         "keeps each program's execution time bounded, which "
                         "the axon TPU runtime requires at large batches).")
+    p.add_argument("--terrain", type=str, default="flat",
+                   choices=["flat", "rough"],
+                   help="procedural rough-terrain heightfield")
+    p.add_argument("--terrain_amplitude", type=float, default=0.04)
+    p.add_argument("--solver_iterations", type=int, default=None,
+                   help="Newton iterations override (default: model opt, 15)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="Capture a jax.profiler trace of a few training "
                         "iterations to this directory (view with "
@@ -73,6 +79,9 @@ def make_env(args):
         ctrl_type=args.ctrl_type,
         biped=args.biped,
         rand_power=args.rand_power,
+        solver_iterations=args.solver_iterations,
+        terrain=args.terrain,
+        terrain_amplitude=args.terrain_amplitude,
         collision_mode=args.collision,
     )
     return Go1Env(cfg)

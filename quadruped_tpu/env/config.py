@@ -83,6 +83,19 @@ class Go1Config:
     # "plane" restricts to geom-vs-floor for speed experiments.
     collision_mode: str = "full"
     max_contacts: int = 48                   # top-K solver slots (deep-fall states reach 46 real contacts; see tools/mjcount)
+    # rough-terrain heightfield (BASELINE.json config 4): "flat" uses the
+    # MJCF plane; "rough" replaces it with a per-episode procedural
+    # sum-of-cosines field (physics/terrain.py) — fresh draw per reset
+    terrain: str = "flat"
+    terrain_amplitude: float = 0.04          # peak height scale (m)
+    terrain_wavelength: float = 1.0          # center feature size (m)
+    terrain_waves: int = 8
+
+    # Newton iteration override (None = model default, 15): the speed/
+    # accuracy profile knob — oracle parity is pinned at the default;
+    # training-quality runs can trade iterations for throughput after an
+    # A/B reward validation (PLAN.md)
+    solver_iterations: int | None = None
 
     frame_skip: int = 10                     # go1_mujoco_env.py:49
     max_episode_time: float = 120.0          # go1_mujoco_env.py:64

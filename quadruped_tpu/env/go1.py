@@ -82,6 +82,8 @@ class Go1Env:
 
         self.cfg = cfg
         self.m = model if model is not None else go1_model(cfg.ctrl_type)
+        if cfg.solver_iterations is not None:
+            self.m.opt.iterations = int(cfg.solver_iterations)
         mode = cfg.collision_mode
         if cfg.biped and mode == "plane":
             mode = "full"  # self-collision costs need self pairs
@@ -204,7 +206,7 @@ class Go1Env:
             jnp.asarray(cfg.desired_vel_max, dtype),
         )
 
-        k_dr, k_lat = jax.random.split(k_dr)
+        k_dr, k_lat, k_ter = jax.random.split(k_dr, 3)
         if cfg.dr.enabled:
             # randomize from the NOMINAL model params, never from the
             # incoming (already-randomized) episode params: re-randomizing
@@ -213,6 +215,21 @@ class Go1Env:
             params = self._randomize(
                 jax.tree.map(jnp.asarray, self.m.params()), k_dr
             )
+        if cfg.terrain == "rough":
+            # fresh heightfield every episode (physics/terrain.py); spawn z
+            # rides the field height under the trunk so the reset pose
+            # clears the ground the same way it does on the flat plane
+            from ..physics.terrain import height_normal, sample_terrain_params
+
+            params = dict(params)
+            params.update(
+                sample_terrain_params(
+                    k_ter, cfg.terrain_waves, cfg.terrain_amplitude,
+                    cfg.terrain_wavelength, dtype,
+                )
+            )
+            h0, _ = height_normal(params, qpos[:2])
+            qpos = qpos.at[2].add(h0)
         if cfg.dr.enabled and cfg.dr.max_latency_steps > 0:
             latency = jax.random.randint(
                 k_lat, (), 0, cfg.dr.max_latency_steps + 1

@@ -521,30 +521,43 @@ def _capsule_box(cpos, cmat, r, half, bpos, bmat, size):
     )
 
 
-def narrowphase(m: PhysicsModel, table: CollisionTable, kin):
+def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None):
     """Run all groups; returns per-candidate (dist, pos, frame) with
     dist/pos/frame shapes (ncand,), (ncand,3), (ncand,3,3).
 
     frame rows are (normal, tangent1, tangent2) — mju_makeFrame-compatible.
+
+    With `terrain` (physics/terrain.py pytree), every plane-group pair
+    collides against the LOCAL TANGENT PLANE of the heightfield under the
+    moving geom's center instead of the flat world plane; zero-amplitude
+    terrain reproduces the plane results exactly.
     """
     gx, gm = kin.geom_xpos, kin.geom_xmat
     size = jnp.asarray(m.geom_size, gx.dtype)
+
+    def plane_of(i1, i2):
+        if terrain is None:
+            return _plane_frame(gm[i1]), gx[i1]
+        from .terrain import local_plane
+
+        ppos, n = local_plane(terrain, gx[i2])
+        return n, ppos
 
     dists, poss, frames = [], [], []
     for g in table.groups:
         i1, i2 = g.geom1, g.geom2
         if g.kind == "plane_sphere":
-            n = _plane_frame(gm[i1])
-            d, p, nn = _plane_sphere(n, gx[i1], gx[i2], size[i2, 0])
+            n, pp = plane_of(i1, i2)
+            d, p, nn = _plane_sphere(n, pp, gx[i2], size[i2, 0])
         elif g.kind == "plane_capsule":
-            n = _plane_frame(gm[i1])
-            d, p, nn = _plane_capsule(n, gx[i1], gx[i2], gm[i2], size[i2, 0], size[i2, 1])
+            n, pp = plane_of(i1, i2)
+            d, p, nn = _plane_capsule(n, pp, gx[i2], gm[i2], size[i2, 0], size[i2, 1])
         elif g.kind == "plane_cylinder":
-            n = _plane_frame(gm[i1])
-            d, p, nn = _plane_cylinder(n, gx[i1], gx[i2], gm[i2], size[i2, 0], size[i2, 1])
+            n, pp = plane_of(i1, i2)
+            d, p, nn = _plane_cylinder(n, pp, gx[i2], gm[i2], size[i2, 0], size[i2, 1])
         elif g.kind == "plane_box":
-            n = _plane_frame(gm[i1])
-            d, p, nn = _plane_box(n, gx[i1], gx[i2], gm[i2], size[i2])
+            n, pp = plane_of(i1, i2)
+            d, p, nn = _plane_box(n, pp, gx[i2], gm[i2], size[i2])
         elif g.kind == "sphere_sphere":
             d, p, nn = _sphere_sphere(gx[i1], size[i1, 0], gx[i2], size[i2, 0])
         elif g.kind == "sphere_capsule":

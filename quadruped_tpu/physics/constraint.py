@@ -208,6 +208,7 @@ def assemble(
     kin: Kin,
     qpos: jax.Array,
     qvel: jax.Array,
+    terrain=None,
 ) -> Efc:
     dtype = qvel.dtype
     impratio = float(m.opt.impratio)
@@ -267,7 +268,7 @@ def assemble(
     # narrowphase over ALL candidates (cheap VPU math), then top-K selection
     # of the most-penetrating candidates: only K contacts enter the solver,
     # cutting the dominant J^T W J cost ~4-10x with static shapes intact.
-    dist_all, pos_all, frame_all = narrowphase(m, table, kin)
+    dist_all, pos_all, frame_all = narrowphase(m, table, kin, terrain=terrain)
     K = layout.max_contacts
     if K is not None and K < layout.ncon:
         # stream-compact the active candidates into K solver slots with a

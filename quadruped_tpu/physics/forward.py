@@ -97,7 +97,16 @@ def forward(
         M, L, qfrc_smooth, qacc_smooth, qfrc_act = smooth_dynamics(
             m, params, kin, qpos, qvel, ctrl
         )
-        efc = assemble(m, pl.layout, pl.table, kin, qpos, qvel)
+        # rough-terrain heightfield (physics/terrain.py): present in params
+        # whenever the env enables terrain; plane contacts then collide
+        # against the local tangent plane of the field
+        terrain = (
+            {k: params[k] for k in ("terrain_amp", "terrain_freq",
+                                    "terrain_phase")}
+            if "terrain_amp" in params else None
+        )
+        efc = assemble(m, pl.layout, pl.table, kin, qpos, qvel,
+                       terrain=terrain)
         qacc, qfrc_constraint, con_force = solve(
             m, M, qacc_smooth, efc, warmstart=warmstart
         )
