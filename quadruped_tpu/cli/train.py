@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "whole rollout fused in one program; the default 1 "
                         "keeps each program's execution time bounded, which "
                         "the axon TPU runtime requires at large batches).")
+    p.add_argument("--gait_conditioning", action="store_true",
+                   help="command-conditioned multi-gait (trot/pace/bound)")
     p.add_argument("--terrain", type=str, default="flat",
                    choices=["flat", "rough"],
                    help="procedural rough-terrain heightfield")
@@ -80,6 +82,7 @@ def make_env(args):
         biped=args.biped,
         rand_power=args.rand_power,
         solver_iterations=args.solver_iterations,
+        gait_conditioning=args.gait_conditioning,
         terrain=args.terrain,
         terrain_amplitude=args.terrain_amplitude,
         collision_mode=args.collision,

@@ -83,6 +83,13 @@ class Go1Config:
     # "plane" restricts to geom-vs-floor for speed experiments.
     collision_mode: str = "full"
     max_contacts: int = 48                   # top-K solver slots (deep-fall states reach 46 real contacts; see tools/mjcount)
+    # command-conditioned multi-gait (BASELINE.json config 5): appends a
+    # gait one-hot + shared-clock sin/cos to the observation (53 dims) and
+    # rewards contact patterns matching the commanded gait template
+    gait_conditioning: bool = False
+    gait_period: float = 0.5                 # s per full gait cycle
+    gait_reward_weight: float = 0.8
+
     # rough-terrain heightfield (BASELINE.json config 4): "flat" uses the
     # MJCF plane; "rough" replaces it with a per-episode procedural
     # sum-of-cosines field (physics/terrain.py) — fresh draw per reset

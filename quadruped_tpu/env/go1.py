@@ -68,6 +68,8 @@ class EnvState:
     qacc_warm: jax.Array            # (nv,) solver warmstart (qacc_warmstart)
     action_buf: jax.Array           # (max_latency+1, 12) actuator-latency DR
     latency: jax.Array              # i32 per-episode action delay in steps
+    gait: jax.Array                 # i32 commanded gait (0 trot/1 pace/2 bound)
+    gait_phase: jax.Array           # f in [0,1): shared gait clock
 
 
 class Go1Env:
@@ -137,6 +139,8 @@ class Go1Env:
 
         self.gravity_vec = m.opt.gravity.copy()
         self.nu = m.nu
+        # 48 (go1_mujoco_env.py:151-153) + gait one-hot/clock when enabled
+        self.obs_dim = 48 + (5 if cfg.gait_conditioning else 0)
 
     def __hash__(self):
         return id(self)
@@ -237,6 +241,12 @@ class Go1Env:
         else:
             latency = jnp.zeros((), jnp.int32)
 
+        if cfg.gait_conditioning:
+            k_dr, k_gait = jax.random.split(k_dr)
+            gait = jax.random.randint(k_gait, (), 0, 3)
+        else:
+            gait = jnp.zeros((), jnp.int32)
+
         return EnvState(
             qpos=qpos,
             qvel=qvel,
@@ -257,6 +267,8 @@ class Go1Env:
                 (self.cfg.dr.max_latency_steps + 1, 12), dtype
             ),
             latency=latency.astype(jnp.int32),
+            gait=gait.astype(jnp.int32),
+            gait_phase=jnp.zeros((), dtype),
         )
 
     def _randomize(self, params, rng):
@@ -303,6 +315,18 @@ class Go1Env:
                 state.last_action,
             ]
         )
+        if cfg.gait_conditioning:
+            # command-conditioned multi-gait (BASELINE.json config 5):
+            # gait one-hot + the shared gait clock as sin/cos -> 53 dims
+            ph = 2.0 * jnp.pi * state.gait_phase
+            o = jnp.concatenate(
+                [
+                    o,
+                    (state.gait == jnp.arange(3)).astype(o.dtype),
+                    jnp.sin(ph)[None].astype(o.dtype),
+                    jnp.cos(ph)[None].astype(o.dtype),
+                ]
+            )
         return jnp.clip(o, -cfg.clip_obs, cfg.clip_obs)
 
     # ----------------------------------------------------------------- health
@@ -413,10 +437,15 @@ class Go1Env:
             **reward_info,
         }
 
+        gait_phase = jnp.mod(
+            state.gait_phase + cfg.dt / cfg.gait_period, 1.0
+        ).astype(dtype)
+
         new_state = dataclasses.replace(
             state,
             qpos=qpos,
             qvel=qvel,
+            gait_phase=gait_phase,
             steps=steps,
             time_unhealthy=time_unhealthy,
             feet_air_time=new_feet_air,
@@ -437,6 +466,37 @@ class Go1Env:
         )
         observation = jnp.where(finite, observation, jnp.zeros_like(observation))
         return new_state, observation, reward, terminated, truncated, info
+
+    # ------------------------------------------------------------- multi-gait
+
+    # stance sets during the FIRST half of the gait cycle, feet ordered
+    # (FR, FL, RR, RL); the other diagonal/pair takes the second half
+    _GAIT_STANCE = np.array(
+        [
+            [1, 0, 0, 1],   # trot: diagonal pairs
+            [1, 0, 1, 0],   # pace: lateral pairs (right side first)
+            [1, 1, 0, 0],   # bound: front pair then rear pair
+        ],
+        np.float32,
+    )
+
+    def _gait_pattern_reward(self, gait, phase, curr_contact, desired_vel,
+                             healthy):
+        """Command-conditioned gait shaping (BASELINE.json config 5):
+        reward feet whose contact state matches the commanded gait's
+        stance/swing template at the shared clock phase.  Gated on a
+        non-trivial velocity command and health (standing still should not
+        be forced to step)."""
+        cfg = self.cfg
+        tmpl = jnp.asarray(self._GAIT_STANCE)[gait]          # (4,)
+        first_half = phase < 0.5
+        expected = jnp.where(first_half, tmpl, 1.0 - tmpl)
+        match = (curr_contact.astype(expected.dtype) == expected)
+        moving = jnp.linalg.norm(desired_vel[:2]) > 0.1
+        r = jnp.mean(match.astype(expected.dtype))
+        return jnp.where(
+            moving & healthy, r, 0.0
+        ) * cfg.gait_reward_weight
 
     # ----------------------------------------------------------------- reward
 
@@ -488,6 +548,13 @@ class Go1Env:
 
         rewards = linear_vel + angular_vel + healthy_r + feet_air + recovery + get_up
 
+        if cfg.gait_conditioning and not cfg.biped:
+            gait_r = self._gait_pattern_reward(
+                state.gait, state.gait_phase, curr_contact,
+                state.desired_vel, healthy,
+            )
+            rewards = rewards + gait_r
+
         # --- costs ------------------------------------------------------------
         unhealthy_scale = jnp.where(healthy, 1.0, 0.1)
         torque = jnp.sum(jnp.square(data.qfrc_actuator[-12:]))
@@ -518,6 +585,10 @@ class Go1Env:
         )
 
         reward_info = {
+            **(
+                {"gait_pattern_reward": gait_r}
+                if (cfg.gait_conditioning and not cfg.biped) else {}
+            ),
             "linear_vel_tracking_reward": linear_vel,
             "reward_ctrl": -ctrl_cost,
             "reward_survive": healthy_r,

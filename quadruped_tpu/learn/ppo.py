@@ -121,7 +121,9 @@ class PPO:
 
     def init(self, rng: jax.Array, rand_power: float = 0.0) -> TrainState:
         k_pol, k_env, k_train = jax.random.split(rng, 3)
-        variables = self.policy.init(k_pol)
+        variables = self.policy.init(
+            k_pol, obs_dim=getattr(self.env, "obs_dim", 48)
+        )
         opt_state = self.tx.init(variables)
         keys = jax.random.split(k_env, self.cfg.num_envs)
         env_state = jax.vmap(lambda k: self.env.reset(k, rand_power=rand_power))(keys)
