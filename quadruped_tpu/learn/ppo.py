@@ -327,12 +327,9 @@ class PPO:
         )
         return ts, metrics
 
-    def train_iteration_chunked(self, ts: TrainState):
-        """Same result as train_iteration, but the rollout is split into
-        cfg.rollout_chunk-step jitted programs dispatched from the host
-        (async — chunks pipeline), and the PPO update is its own program.
-        This keeps every single XLA program's execution time bounded, which
-        the current TPU runtime requires at large env batches."""
+    def rollout_chunked(self, ts: TrainState):
+        """The chunk-dispatched rollout of train_iteration_chunked alone
+        (phase-timing instrumentation hook)."""
         cfg = self.cfg
         chunk = cfg.rollout_chunk or cfg.n_steps
         chunks = []
@@ -343,9 +340,16 @@ class PPO:
             chunks.append(traj)
             done += n
         if len(chunks) == 1:
-            traj = chunks[0]
-        else:
-            traj = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *chunks
-            )
+            return ts, chunks[0]
+        return ts, jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *chunks
+        )
+
+    def train_iteration_chunked(self, ts: TrainState):
+        """Same result as train_iteration, but the rollout is split into
+        cfg.rollout_chunk-step jitted programs dispatched from the host
+        (async — chunks pipeline), and the PPO update is its own program.
+        This keeps every single XLA program's execution time bounded, which
+        the current TPU runtime requires at large env batches."""
+        ts, traj = self.rollout_chunked(ts)
         return self._update_with_metrics(ts, traj)

@@ -211,13 +211,32 @@ class Runner:
                 profiling = True
 
             t_iter = time.time()
+            phase_t = {}
             if trainer.cfg.rollout_chunk is not None:
-                ts, metrics = trainer.train_iteration_chunked(ts)
+                import os as _os
+
+                if _os.environ.get("QTPU_PHASE_TIMING") == "1":
+                    # split rollout/update wall time with hard device syncs
+                    # (block_until_ready is unreliable on axon) — the
+                    # evidence harness for the training-loop breakdown
+                    ts, traj = trainer.rollout_chunked(ts)
+                    float(jax.device_get(traj.reward[0, 0]))
+                    phase_t["rollout_s"] = time.time() - t_iter
+                    t_u = time.time()
+                    ts, metrics = trainer._update_with_metrics(ts, traj)
+                    metrics = {
+                        k: float(jax.device_get(v)) for k, v in metrics.items()
+                    }
+                    phase_t["update_s"] = time.time() - t_u
+                else:
+                    ts, metrics = trainer.train_iteration_chunked(ts)
             else:
                 ts, metrics = trainer.train_iteration(ts)
             # force a real sync (block_until_ready is unreliable on axon)
             metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
             iter_seconds = time.time() - t_iter
+            for k, v in phase_t.items():
+                metrics[f"phase_{k}"] = v
             global_step += steps_per_iter
             step = global_step
             iteration += 1
