@@ -5,33 +5,25 @@ iterations per env control step (reference equivalent: MuJoCo's Newton
 solver inside mj_step, SURVEY.md C13).  The XLA/vmap formulation puts the
 env batch on axis 0 and leaves the MXU/VPU idle on (nefc, 18)-shaped
 per-env matrices; this kernel flips the layout so the ENV BATCH rides the
-128-wide lane axis and every operation is a full-width VPU op.
-
-Layout rules (all chosen so Mosaic never relayouts mid-loop):
+128-wide lane axis and every operation is a full-width VPU op:
 
   * grid over env blocks of BLK=128 (lane-exact); every per-env scalar is
     a (1, 128) vector, every row-vector a (rows, 128) tile
-  * rows are segmented 8-aligned: [friction pad 16 | limits pad 16 |
-    contact rows DIM-MAJOR (6 blocks of K, K padded to a multiple of 4)],
-    so every segment slice starts on a sublane-tile boundary
-  * contact math runs on (6, K, B) dim-major arrays: normal/tangent
-    splits are leading-axis slices (free), never tiled-dim slices
-  * row reductions go tile-wise: (rows, B) -> (rows/8, 8, B) (the exact
-    tile decomposition, a free reshape) -> leading-axis sum -> one clean
-    zero-offset (8, B) reduction.  Mosaic rejects offset-layout
-    multi_reductions and a halving tree of odd slices relayouts per level.
-  * J / M lane slices for the matvecs are hoisted out of the Newton
-    fori_loop explicitly (computed once, reused every iteration)
+  * J (nefc, nv, BLK) stays resident in VMEM across ALL Newton iterations
+    and line-search evaluations: zero HBM traffic inside the solve
+  * the Newton loop is a lax.fori_loop (compile-once); the 18x18 Cholesky
+    is an unrolled right-looking rank-1 sweep over (nv, nv, BLK) tiles
   * float32 robustness mirrors physics/solver.py: failed-pivot detection
     via the last Cholesky diagonal, a 1e-3*maxdiag Levenberg retry, a
     zeroed step if both factorizations fail, and NaN-safe argmin
 
-The numerics live in `newton_core`, a pure batch-last jnp function shared
-by the kernel body and the CPU tests (pallas interpret mode,
-QTPU_KERNEL_ON_CPU=1), so tests/test_ops.py pins the exact same code
-against the oracle-verified single-env path without a TPU.  Only the
-padded contact layout (row_con is None: ncon x 6 rows) is supported — the
-env always compiles that layout when max_contacts (top-K) is set.
+The numerics are shared with the non-pallas world through `newton_core`,
+a pure batch-last jnp function: the pallas kernel body just reads refs,
+calls it, and writes refs, so tests (tests/test_ops.py) can pin the exact
+same code against the oracle-verified single-env path without a TPU.
+Only the padded contact layout (row_con is None: ncon x 6 rows) is
+supported — the env always compiles that layout when max_contacts
+(top-K) is set.
 """
 
 from __future__ import annotations
@@ -40,29 +32,49 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLK = 128          # env block = lane width
 _N_LADDER = 16     # 4.0 * 0.5^k, k=0..15 (matches solver._LS_ALPHAS)
 _SHIFT = 1e-3      # Levenberg retry scale (x maxdiag) on failed Cholesky
-_NF2 = 16          # friction row segment (8-aligned pad)
-_NL2 = 16          # limit row segment
-_BASE = _NF2 + _NL2
 
 
 def _s2(x):
-    """Reduce (rows, B) -> (1, B) tile-wise (see module docstring)."""
+    """Reduce (rows, B) -> (1, B) as a halving tree of static-slice adds.
+
+    Mosaic rejects vector.multi_reduction(ADD) over sublane dims whose
+    layout carries a nonzero offset (common after row slicing), so the
+    reduction is expressed purely with elementwise adds."""
     n = x.shape[0]
-    if n % 8:
-        x = jnp.concatenate(
-            [x, jnp.zeros((8 - n % 8,) + x.shape[1:], x.dtype)], axis=0
-        )
-        n = x.shape[0]
-    if n > 8:
-        x = jnp.sum(x.reshape(n // 8, 8, x.shape[-1]), axis=0)
-    return jnp.sum(x, axis=0, keepdims=True)
+    while n > 1:
+        h = n // 2
+        y = x[:h] + x[h : 2 * h]
+        if n % 2:
+            if h == 1:
+                y = y + x[2 * h :]
+            else:
+                y = jnp.concatenate([y[0:1] + x[2 * h :], y[1:]], axis=0)
+        x = y
+        n = h
+    return x
+
+
+def _matvec(J, x):
+    """(rows, nv, B) x (nv, B) -> (rows, B); unrolled FMA over nv."""
+    nv = J.shape[1]
+    acc = J[:, 0, :] * x[0:1, :]
+    for i in range(1, nv):
+        acc = acc + J[:, i, :] * x[i : i + 1, :]
+    return acc
+
+
+def _rmatvec(J, f):
+    """(rows, nv, B) x (rows, B) -> (nv, B); reduce over rows."""
+    nv = J.shape[1]
+    return jnp.concatenate(
+        [_s2(J[:, i, :] * f) for i in range(nv)], axis=0
+    )
 
 
 def _cholesky(H, nv):
@@ -98,110 +110,101 @@ def _cho_solve(L, g, nv):
 
 def newton_core(
     M, qs, warm, J, aref, D, R, floss, active,
-    scale6, fscale6, maskd6, conact, Rn, mu,
-    *, nv, K, iterations,
+    scale, fscale, maskd, conact, Rn, mu,
+    *, nv, nf, nl, K, iterations,
 ):
-    """Batch-LAST Newton solve on plain jnp arrays, kernel row layout.
+    """Batch-LAST Newton solve on plain jnp arrays.
 
-    Shapes: M (nv,nv,B), qs/warm (nv,B), J (ne2,nv,B) with the segmented
-    8-aligned row layout (ne2 = 32 + 6K), row vectors (ne2,B), contact
-    metadata dim-major (6,K,B) / (K,B).  Returns (qacc (nv,B), f (ne2,B),
-    qfrc (nv,B))."""
-    ne2 = _BASE + 6 * K
-    B = qs.shape[-1]
-    conact1 = conact[None]                              # (1, K, B)
-    Rn1 = Rn[None]
-    mu1 = mu[None]
-    maskc6 = maskd6 * conact1                           # (6, K, B)
-    Smc = scale6 * maskc6
-    Jc6 = J[_BASE:].reshape(6, K, nv, B)
+    Shapes: M (nv,nv,B), qs/warm (nv,B), J (ne,nv,B), row vectors (ne,B),
+    contact metadata (K,...,B).  Returns (qacc (nv,B), f (ne,B),
+    qfrc (nv,B)).  This function is the pallas kernel body — see module
+    docstring."""
+    nfl = nf + nl
+    ne = nfl + 6 * K
+    Rn2 = Rn[:, None, :]                                # (K, 1, B)
+    mu2 = mu[:, None, :]
+    maskc = maskd * conact[:, None, :]                  # (K, 6, B)
+    Jc = J[nfl:].reshape(K, 6, nv, J.shape[-1])
     ladder = [4.0 * 0.5**k for k in range(_N_LADDER)] + [0.0]
-
-    # hoist the lane slices of the loop-invariant matrices
-    Jsl = [J[:, i, :] for i in range(nv)]               # nv x (ne2, B)
-    Msl = [M[:, i, :] for i in range(nv)]               # nv x (nv, B)
-
-    def matvec(slices, x):
-        acc = slices[0] * x[0:1, :]
-        for i in range(1, len(slices)):
-            acc = acc + slices[i] * x[i : i + 1, :]
-        return acc
-
-    def rmatvec(slices, f):
-        return jnp.concatenate([_s2(s * f) for s in slices], axis=0)
-
-    def cone(z):
-        """Shared cone geometry for a row vector z (ne2, B)."""
-        zc = z[_BASE:].reshape(6, K, B)
-        u = -(zc * Smc) / Rn1
-        u0 = u[0:1]                                     # (1, K, B)
-        ut = u[1:6]                                     # (5, K, B)
-        tt = u[1:2] * u[1:2]
-        for d_ in range(2, 6):
-            tt = tt + u[d_ : d_ + 1] * u[d_ : d_ + 1]
-        t = jnp.sqrt(tt + 1e-30)
-        bottom = t <= mu1 * u0
-        top = mu1 * t <= -u0
-        al = (u0 + mu1 * t) / (1.0 + mu1 * mu1)
-        return u0, ut, tt, t, bottom, top, al
 
     def S_of(z):
         """Total penalty S(z) -> (1, B).  Mirrors solver._penalty_S."""
-        zf = z[:_NF2]
-        quad = jnp.abs(D[:_NF2] * zf) <= floss[:_NF2]
-        S = _s2(
-            jnp.where(
-                quad, 0.5 * D[:_NF2] * zf * zf,
-                floss[:_NF2] * jnp.abs(zf)
-                - 0.5 * floss[:_NF2] * floss[:_NF2] * R[:_NF2],
+        S = 0.0
+        if nf:
+            zf, Df, Rf, fl = z[:nf], D[:nf], R[:nf], floss[:nf]
+            quad = jnp.abs(Df * zf) <= fl
+            S = S + _s2(
+                jnp.where(quad, 0.5 * Df * zf * zf,
+                          fl * jnp.abs(zf) - 0.5 * fl * fl * Rf)
             )
-        )
-        zl = z[_NF2:_BASE]
-        actl = (active[_NF2:_BASE] > 0) & (zl < 0)
-        S = S + _s2(jnp.where(actl, 0.5 * D[_NF2:_BASE] * zl * zl, 0.0))
-        u0, ut, tt, t, bottom, top, al = cone(z)
+        if nl:
+            zl, Dl = z[nf:nfl], D[nf:nfl]
+            act = (active[nf:nfl] > 0) & (zl < 0)
+            S = S + _s2(jnp.where(act, 0.5 * Dl * zl * zl, 0.0))
+        zc = z[nfl:].reshape(K, 6, z.shape[-1])
+        u = -(zc * scale * maskc) / Rn2
+        u0 = u[:, 0:1, :]
+        ut = u[:, 1:, :]
+        tt = sum(ut[:, d_ : d_ + 1, :] * ut[:, d_ : d_ + 1, :] for d_ in range(5))
+        t = jnp.sqrt(tt + 1e-30)
+        bottom = t <= mu2 * u0
+        top = mu2 * t <= -u0
         usq = u0 * u0 + tt
-        mid_d2 = usq - al * al * (1.0 + mu1 * mu1)
+        al = (u0 + mu2 * t) / (1.0 + mu2 * mu2)
+        mid_d2 = usq - al * al * (1.0 + mu2 * mu2)
         d2 = jnp.where(bottom, 0.0, jnp.where(top, usq, mid_d2))
-        s_con = (0.5 * Rn1 * (usq - d2))[0]             # (K, B)
-        return S + _s2(s_con)
+        s_con = 0.5 * Rn2 * (usq - d2)                  # (K, 1, B)
+        return S + _s2(s_con[:, 0, :])
 
     def penalty_fw(z):
         """Forces f(z), weights w(z), rank-1 cone rows + weights."""
-        zf = z[:_NF2]
-        f_unc = -D[:_NF2] * zf
-        quad = jnp.abs(f_unc) <= floss[:_NF2]
-        ff = jnp.clip(f_unc, -floss[:_NF2], floss[:_NF2])
-        wf = jnp.where(quad, D[:_NF2], 0.0)
-        zl = z[_NF2:_BASE]
-        actl = (active[_NF2:_BASE] > 0) & (zl < 0)
-        fl_ = jnp.where(actl, -D[_NF2:_BASE] * zl, 0.0)
-        wl = jnp.where(actl, D[_NF2:_BASE], 0.0)
-
-        u0, ut, tt, t, bottom, top, al = cone(z)
+        f_parts, w_parts = [], []
+        if nf:
+            zf, Df, fl = z[:nf], D[:nf], floss[:nf]
+            f_unc = -Df * zf
+            quad = jnp.abs(f_unc) <= fl
+            f_parts.append(jnp.clip(f_unc, -fl, fl))
+            w_parts.append(jnp.where(quad, Df, 0.0))
+        if nl:
+            zl, Dl = z[nf:nfl], D[nf:nfl]
+            act = (active[nf:nfl] > 0) & (zl < 0)
+            f_parts.append(jnp.where(act, -Dl * zl, 0.0))
+            w_parts.append(jnp.where(act, Dl, 0.0))
+        zc = z[nfl:].reshape(K, 6, z.shape[-1])
+        u = -(zc * scale * maskc) / Rn2
+        u0 = u[:, 0:1, :]
+        ut = u[:, 1:, :]
+        tt = sum(ut[:, d_ : d_ + 1, :] * ut[:, d_ : d_ + 1, :] for d_ in range(5))
+        t = jnp.sqrt(tt + 1e-30)
+        bottom = t <= mu2 * u0
+        top = mu2 * t <= -u0
         middle = ~(bottom | top)
+        al = (u0 + mu2 * t) / (1.0 + mu2 * mu2)
         phi0 = jnp.where(bottom, u0, jnp.where(top, 0.0, al))
         tdir = ut / t
-        phit = jnp.where(bottom, ut, jnp.where(top, 0.0, mu1 * al * tdir))
-        phi = jnp.concatenate([phi0, phit], axis=0)     # (6, K, B)
-        f_con = (phi * fscale6 * maskc6).reshape(6 * K, B)
+        phit = jnp.where(bottom, ut, jnp.where(top, 0.0, mu2 * al * tdir))
+        phi = jnp.concatenate([phi0, phit], axis=1)
+        f_parts.append((phi * fscale * maskc).reshape(6 * K, -1))
 
-        mid_c = mu1 * al / t                            # (1, K, B)
+        mid_c = mu2 * al / t                            # (K, 1, B)
         diag_c = jnp.where(bottom, 1.0, jnp.where(top, 0.0, mid_c))
-        w_con = ((diag_c * conact1 / Rn1) * scale6 * Smc).reshape(6 * K, B)
+        w_con = (diag_c * conact[:, None, :] / Rn2) * scale * scale * maskc
+        w_parts.append(w_con.reshape(6 * K, -1))
 
-        # rank-1 cone rows (per contact): U_e0 = (S e0)^T Jc,
-        # U_n = (S nhat)^T Jc, U_v = U_e0 + mu U_n
-        U_e0 = Smc[0][:, None, :] * Jc6[0]              # (K, nv, B)
-        U_n = (Smc[1] * tdir[0])[:, None, :] * Jc6[1]
+        # rank-1 cone rows: U_e0 = (S e0)^T Jc, U_n = (S nhat)^T Jc,
+        # U_v = U_e0 + mu U_n ; weights per solver._penalty docstring
+        Sm = scale * maskc
+        U_e0 = Sm[:, 0:1, :] * Jc[:, 0, :, :]           # (K, nv, B)
+        U_n = (Sm[:, 1, :] * tdir[:, 0, :])[:, None, :] * Jc[:, 1, :, :]
         for d_ in range(2, 6):
-            U_n = U_n + (Smc[d_] * tdir[d_ - 1])[:, None, :] * Jc6[d_]
-        U_v = U_e0 + mu1[0][:, None, :] * U_n
-        is_mid = jnp.where(middle[0], 1.0, 0.0) * conact  # (K, B)
-        wV0 = is_mid / ((1.0 + mu * mu) * Rn)
-        wVn = -is_mid * (mid_c[0] / Rn)
-        f = jnp.concatenate([ff, fl_, f_con], axis=0)
-        w = jnp.concatenate([wf, wl, w_con], axis=0)
+            U_n = U_n + (Sm[:, d_, :] * tdir[:, d_ - 1, :])[:, None, :] \
+                * Jc[:, d_, :, :]
+        U_v = U_e0 + mu2 * U_n
+        is_mid = jnp.where(middle, 1.0, 0.0) * conact[:, None, :]
+        wV0 = (is_mid / ((1.0 + mu2 * mu2) * Rn2))[:, 0, :]   # (K, B)
+        wVn = (-is_mid * mid_c / Rn2)[:, 0, :]
+        f = jnp.concatenate(f_parts, axis=0)
+        w = jnp.concatenate(w_parts, axis=0)
         return f, w, (U_v, U_e0, U_n), (wV0, wVn)
 
     eye3 = jnp.where(
@@ -209,24 +212,24 @@ def newton_core(
         == jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 1),
         1.0, 0.0,
     )
-    ladder_j = [jnp.float32(v) for v in ladder]
 
     def newton_iter(_, a):
-        z = matvec(Jsl, a) - aref
+        z = _matvec(J, a) - aref
         f, w, (U_v, U_e0, U_n), (wV0, wVn) = penalty_fw(z)
-        Mda = matvec(Msl, a - qs)
-        grad = Mda - rmatvec(Jsl, f)
+        Mda = _matvec(M, a - qs)
+        grad = Mda - _rmatvec(J, f)
 
-        # H = M + Gram over [all J rows | 3 rank-1 cone rows per contact]
+        # H = M + Gram over [all J rows | 3 rank-1 cone rows per contact].
+        # Two sweeps (J-part, rank-1-part) with no concatenated/weighted
+        # row copies: VMEM in the kernel is tight (J alone is ~2 MB/block)
         Us = jnp.concatenate([U_v, U_e0, U_n], axis=0)   # (3K, nv, B)
         wU = jnp.concatenate([wV0, wVn, wVn], axis=0)    # (3K, B)
-        Usl = [Us[:, i, :] for i in range(nv)]
         cols = [[None] * nv for _ in range(nv)]
         for i in range(nv):
-            Ji_w = Jsl[i] * w
-            Ui_w = Usl[i] * wU
+            Ji_w = J[:, i, :] * w
+            Ui_w = Us[:, i, :] * wU
             for j2 in range(i, nv):
-                hij = _s2(Ji_w * Jsl[j2]) + _s2(Ui_w * Usl[j2])
+                hij = _s2(Ji_w * J[:, j2, :]) + _s2(Ui_w * Us[:, j2, :])
                 cols[i][j2] = hij
                 cols[j2][i] = hij
         H = jnp.stack(
@@ -248,8 +251,8 @@ def newton_core(
         ok = _s2(jnp.where(jnp.isfinite(delta), 0.0, 1.0)) == 0.0
         delta = jnp.where(ok, delta, 0.0)
 
-        Jd = matvec(Jsl, delta)
-        Md = matvec(Msl, delta)
+        Jd = _matvec(J, delta)
+        Md = _matvec(M, delta)
         qa = 0.5 * _s2(delta * Md)                      # (1, B)
         qb = _s2(delta * Mda)
 
@@ -266,6 +269,8 @@ def newton_core(
             take = phis[k] < best_phi
             best_phi = jnp.where(take, phis[k], best_phi)
             best_idx = jnp.where(take, k, best_idx)
+
+        ladder_j = [jnp.float32(v) for v in ladder]
 
         def alpha_of(idx):
             out = jnp.zeros_like(best_phi)
@@ -300,12 +305,12 @@ def newton_core(
         return a + alpha * delta
 
     a = jax.lax.fori_loop(0, iterations, newton_iter, warm)
-    z = matvec(Jsl, a) - aref
+    z = _matvec(J, a) - aref
     f, _w, _U, _wV = penalty_fw(z)
-    return a, f, rmatvec(Jsl, f)
+    return a, f, _rmatvec(J, f)
 
 
-def _make_kernel(nv, K, iterations):
+def _make_kernel(nv, nf, nl, K, iterations):
     def kernel(
         M_ref, qs_ref, warm_ref, J_ref, aref_ref, D_ref, R_ref, floss_ref,
         active_ref, scale_ref, fscale_ref, maskd_ref, conact_ref, Rn_ref,
@@ -315,7 +320,7 @@ def _make_kernel(nv, K, iterations):
             M_ref[:], qs_ref[:], warm_ref[:], J_ref[:], aref_ref[:],
             D_ref[:], R_ref[:], floss_ref[:], active_ref[:], scale_ref[:],
             fscale_ref[:], maskd_ref[:], conact_ref[:], Rn_ref[:],
-            mu_ref[:], nv=nv, K=K, iterations=iterations,
+            mu_ref[:], nv=nv, nf=nf, nl=nl, K=K, iterations=iterations,
         )
         qacc_ref[:] = qacc
         f_ref[:] = f
@@ -332,73 +337,31 @@ def newton_solve_batched(
     con_scale, con_fscale, con_dim_mask, con_active, con_Rn, con_mu,
     *, nv, nf, nl, K, iterations, interpret=False,
 ):
-    """Batched Newton solve.  All array args are batch-FIRST (B, ...) in
-    the assembler's row order ([friction nf | limits nl | contacts
-    contact-major Kx6]) and float32; returns (qacc (B,nv), f (B, ne),
-    qfrc (B,nv)) in the same row order.
+    """Batched Newton solve.  All array args are batch-FIRST (B, ...) and
+    float32; returns (qacc (B,nv), f (B,ne), qfrc (B,nv)).
 
-    Internally rows are permuted to the kernel's segmented 8-aligned
-    dim-major layout and B is padded to a multiple of BLK=128 (edge
-    padding, so padded lanes factor cleanly)."""
-    assert nf <= _NF2 and nl <= _NL2, (nf, nl)
+    B is padded to a multiple of BLK=128 internally (edge padding so the
+    padded lanes factor cleanly and cannot produce Inf/NaN spills)."""
     ne = nf + nl + 6 * K
     B = qacc_smooth.shape[0]
     Bp = -(-B // BLK) * BLK
-    Kp = -(-K // 4) * 4                     # 6*Kp multiple of 8 -> aligned
-    ne2 = _BASE + 6 * Kp
 
-    # static row permutation: kernel row r2 <- assembler row perm[r2]
-    perm = np.zeros(ne2, np.int32)
-    valid = np.zeros(ne2, np.float32)
-    perm[:nf] = np.arange(nf)
-    valid[:nf] = 1.0
-    perm[_NF2 : _NF2 + nl] = nf + np.arange(nl)
-    valid[_NF2 : _NF2 + nl] = 1.0
-    for d in range(6):
-        rows = _BASE + d * Kp + np.arange(K)
-        perm[rows] = nf + nl + np.arange(K) * 6 + d     # contact-major -> dim-major
-        valid[rows] = 1.0
-    inv = np.zeros(ne, np.int32)
-    inv[perm[valid > 0]] = np.where(valid > 0)[0]
-    perm_j = jnp.asarray(perm)
-    valid_j = jnp.asarray(valid)
-    inv_j = jnp.asarray(inv)
-
-    def prep(x, fill=0.0, kpad=None):
+    def prep(x):
         x = jnp.asarray(x, jnp.float32)
-        if kpad is not None and Kp != K:
-            pad = [(0, 0)] * x.ndim
-            pad[kpad] = (0, Kp - K)
-            x = jnp.pad(x, pad, constant_values=fill)
         if Bp != B:
-            x = jnp.pad(
-                x, [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1), mode="edge"
-            )
+            pad = [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, pad, mode="edge")
         return jnp.moveaxis(x, 0, -1)  # batch-last
 
-    def prep_rows(x):
-        """(B, ne) -> (ne2, Bp) in kernel row order (pads zeroed)."""
-        x = jnp.asarray(x, jnp.float32)
-        x = jnp.take(x, perm_j, axis=1) * valid_j[None, :]
-        return prep(x)
-
-    Jp = jnp.take(jnp.asarray(J, jnp.float32), perm_j, axis=1) \
-        * valid_j[None, :, None]
-
     args = [
-        prep(M), prep(qacc_smooth), prep(warmstart), prep(Jp),
-        prep_rows(aref), prep_rows(D), prep_rows(R), prep_rows(floss),
-        prep_rows(active.astype(jnp.float32)),
-        # contact metadata -> dim-major (6, K, B)
-        jnp.moveaxis(prep(con_scale, kpad=1), 1, 0),
-        jnp.moveaxis(prep(con_fscale, kpad=1), 1, 0),
-        jnp.moveaxis(prep(con_dim_mask.astype(jnp.float32), kpad=1), 1, 0),
-        prep(con_active.astype(jnp.float32), kpad=1),
-        prep(con_Rn, fill=1.0, kpad=1),
-        prep(con_mu, fill=0.1, kpad=1),
+        prep(M), prep(qacc_smooth), prep(warmstart), prep(J), prep(aref),
+        prep(D), prep(R), prep(floss), prep(active.astype(jnp.float32)),
+        prep(con_scale), prep(con_fscale),
+        prep(con_dim_mask.astype(jnp.float32)),
+        prep(con_active.astype(jnp.float32)), prep(con_Rn), prep(con_mu),
     ]
 
-    kernel = _make_kernel(nv, Kp, iterations)
+    kernel = _make_kernel(nv, nf, nl, K, iterations)
     grid = (Bp // BLK,)
 
     def spec(*lead):
@@ -411,22 +374,21 @@ def newton_solve_batched(
 
     out_shape = [
         jax.ShapeDtypeStruct((nv, Bp), jnp.float32),   # qacc
-        jax.ShapeDtypeStruct((ne2, Bp), jnp.float32),  # f (kernel rows)
+        jax.ShapeDtypeStruct((ne, Bp), jnp.float32),   # f
         jax.ShapeDtypeStruct((nv, Bp), jnp.float32),   # qfrc
     ]
     qacc, f, qfrc = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            spec(nv, nv), spec(nv), spec(nv), spec(ne2, nv), spec(ne2),
-            spec(ne2), spec(ne2), spec(ne2), spec(ne2), spec(6, Kp),
-            spec(6, Kp), spec(6, Kp), spec(Kp), spec(Kp), spec(Kp),
+            spec(nv, nv), spec(nv), spec(nv), spec(ne, nv), spec(ne),
+            spec(ne), spec(ne), spec(ne), spec(ne), spec(K, 6), spec(K, 6),
+            spec(K, 6), spec(K), spec(K), spec(K),
         ],
-        out_specs=[spec(nv), spec(ne2), spec(nv)],
+        out_specs=[spec(nv), spec(ne), spec(nv)],
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
 
     post = lambda x: jnp.moveaxis(x, -1, 0)[:B]
-    f = jnp.take(post(f), inv_j, axis=1)               # back to assembler rows
-    return post(qacc), f, post(qfrc)
+    return post(qacc), post(f), post(qfrc)
