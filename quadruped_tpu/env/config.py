@@ -82,7 +82,11 @@ class Go1Config:
     # dynamics and the collision/unwanted-contact costs observe them;
     # "plane" restricts to geom-vs-floor for speed experiments.
     collision_mode: str = "full"
-    max_contacts: int = 48                   # top-K solver slots (deep-fall states reach 46 real contacts; see tools/mjcount)
+    # top-K solver slots.  Measured worst case on the flat-plane Go1 is 46
+    # simultaneously-active candidates (deep-fall states); actives beyond K
+    # are dropped by constraint.assemble's stream compaction, and the drop
+    # count is surfaced per step as info["contact_overflow"].
+    max_contacts: int = 48
     # command-conditioned multi-gait (BASELINE.json config 5): appends a
     # gait one-hot + shared-clock sin/cos to the observation (53 dims) and
     # rewards contact patterns matching the commanded gait template

@@ -210,7 +210,11 @@ class Go1Env:
             jnp.asarray(cfg.desired_vel_max, dtype),
         )
 
-        k_dr, k_lat, k_ter = jax.random.split(k_dr, 3)
+        # k_gait drawn here, BEFORE k_dr is consumed by _randomize: threefry
+        # split children are counter-positional, so splitting k_dr again
+        # after _randomize's split(k_dr, 4) would make the commanded gait a
+        # deterministic function of the mass-DR draw (ADVICE r1, medium)
+        k_dr, k_lat, k_ter, k_gait = jax.random.split(k_dr, 4)
         if cfg.dr.enabled:
             # randomize from the NOMINAL model params, never from the
             # incoming (already-randomized) episode params: re-randomizing
@@ -242,7 +246,6 @@ class Go1Env:
             latency = jnp.zeros((), jnp.int32)
 
         if cfg.gait_conditioning:
-            k_dr, k_gait = jax.random.split(k_dr)
             gait = jax.random.randint(k_gait, (), 0, 3)
         else:
             gait = jnp.zeros((), jnp.int32)
@@ -434,6 +437,10 @@ class Go1Env:
                 terminated | ~healthy, reason, TERM_NOT
             ),
             "bipedal_success": bipedal_success,
+            # active contact candidates dropped beyond the K solver slots on
+            # the last substep — nonzero means contact physics is being
+            # silently softened and max_contacts should be raised (ADVICE r1)
+            "contact_overflow": data.con_overflow,
             **reward_info,
         }
 

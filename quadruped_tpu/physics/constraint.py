@@ -158,6 +158,7 @@ class Efc:
     con_dim_mask: jax.Array  # (ncon, 6) rows enabled by condim
     con_sel: jax.Array | None  # (ncon,) candidate index of each slot
     con_Rn: jax.Array       # (ncon,) normal-row regularization
+    con_overflow: jax.Array  # () i32: active candidates dropped beyond K
     # compact contact row map (static): row r of the contact block is
     # dimension row_dim[r] of contact row_con[r]; None = padded ncon*6 rows
     row_con: tuple | None
@@ -171,7 +172,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "J", "aref", "R", "D", "floss", "active", "con_active", "con_dist",
         "con_pos", "con_frame", "con_mu_tilde", "con_scale", "con_fscale",
-        "con_dim_mask", "con_sel", "con_Rn",
+        "con_dim_mask", "con_sel", "con_Rn", "con_overflow",
     ],
     meta_fields=["row_con", "row_dim", "nf", "nl"],
 )
@@ -285,6 +286,10 @@ def assemble(
         ).astype(jnp.int32)
         sel = jnp.minimum(sel, layout.ncon - 1)
         slot_valid = jnp.arange(K) < cs[-1]
+        # actives beyond the K slots are silently discarded by the solver;
+        # surface the count so env info / debug runs can detect contact
+        # softening instead of it passing unnoticed (ADVICE r1)
+        overflow = jnp.maximum(cs[-1] - K, 0)
         dist, pos, frame = dist_all[sel], pos_all[sel], frame_all[sel]
         # force unselected slots inactive regardless of the dummy gather
         dist = jnp.where(slot_valid, dist, 1e9)
@@ -293,6 +298,7 @@ def assemble(
     else:
         K = layout.ncon
         sel = None
+        overflow = jnp.zeros((), jnp.int32)
         dist, pos, frame = dist_all, pos_all, frame_all
         gather = lambda a: jnp.asarray(a, dtype)
         igather = lambda a: jnp.asarray(a)
@@ -393,6 +399,7 @@ def assemble(
         con_dim_mask=dim_mask,
         con_sel=sel,
         con_Rn=R0,
+        con_overflow=overflow.astype(jnp.int32),
         row_con=row_con,
         row_dim=row_dim,
         nf=nf,

@@ -68,13 +68,14 @@ class StepData:
     con_dist: jax.Array        # (ncon,)
     con_active: jax.Array      # (ncon,) bool
     con_sel: jax.Array | None  # (ncon,) candidate index per solver slot
+    con_overflow: jax.Array    # () i32 active candidates dropped beyond K
 
 
 jax.tree_util.register_dataclass(
     StepData,
     data_fields=[
         "kin", "qacc", "qfrc_actuator", "cfrc_ext", "con_force", "con_dist",
-        "con_active", "con_sel",
+        "con_active", "con_sel", "con_overflow",
     ],
     meta_fields=[],
 )
@@ -121,27 +122,33 @@ def forward(
             con_dist=efc.con_dist,
             con_active=efc.con_active,
             con_sel=efc.con_sel,
+            con_overflow=efc.con_overflow,
         ),
         M,
     )
 
 
-_CFRC_CONST: dict[int, tuple] = {}
+import weakref
+
+# WeakKeyDictionary on the live Pipeline, not id(pl): see solver._CORE_CACHE
+_CFRC_CONST: "weakref.WeakKeyDictionary[Pipeline, tuple]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _cfrc_consts(pl: Pipeline):
     """Static one-hot accumulation matrices: TPU scatters lower to slow
     sort-based kernels under vmap, so every segment-sum here is expressed
     as a (constant) 0/1 matmul instead."""
-    if id(pl) not in _CFRC_CONST:
+    if pl not in _CFRC_CONST:
         m = pl.m
         root_of = np.asarray(m.body_rootid)
         root_oh = np.zeros((m.nbody, m.nbody), np.float32)
         root_oh[root_of, np.arange(m.nbody)] = 1.0  # (root, body)
         world_mask = np.ones(m.nbody, np.float32)
         world_mask[0] = 0.0
-        _CFRC_CONST[id(pl)] = (root_of, root_oh, world_mask)
-    return _CFRC_CONST[id(pl)]
+        _CFRC_CONST[pl] = (root_of, root_oh, world_mask)
+    return _CFRC_CONST[pl]
 
 
 def cfrc_ext(pl: Pipeline, params, kin: Kin, efc, con_force: jax.Array) -> jax.Array:

@@ -258,12 +258,20 @@ def solve(
     return _solver_core(m, iters)(M, qacc_smooth, a0, efc)
 
 
-_CORE_CACHE: dict[tuple, object] = {}
+# Keyed on the live model object (WeakKeyDictionary), NOT id(m): an id can
+# be reused by a new model after the old one is collected, which would
+# silently return a core closed over the dead model's constants (ADVICE r1).
+import weakref
+
+_CORE_CACHE: "weakref.WeakKeyDictionary[PhysicsModel, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _solver_core(m: PhysicsModel, iters: int):
-    key = (id(m), iters)
-    if key not in _CORE_CACHE:
+    per_model = _CORE_CACHE.setdefault(m, {})
+    key = iters
+    if key not in per_model:
         from jax import custom_batching
 
         @custom_batching.custom_vmap
@@ -319,8 +327,8 @@ def _solver_core(m: PhysicsModel, iters: int):
                 )(M_, qs_, a0_, efc_)
             return out, jax.tree.map(lambda _: True, out)
 
-        _CORE_CACHE[key] = core
-    return _CORE_CACHE[key]
+        per_model[key] = core
+    return per_model[key]
 
 
 def _solve_single(

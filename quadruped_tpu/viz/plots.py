@@ -35,8 +35,13 @@ def save_progress_plot(history, path="training_progress.png", window: int = 10):
     r = np.asarray(history.series["rewards"], dtype=float)
     ln = np.asarray(history.series["lengths"], dtype=float)
     sc = np.asarray(history.series["successes"], dtype=float)
+    gait = getattr(history, "gait", None) or {}
+    have_gait = any(len(v) for v in gait.values())
 
-    fig, axes = plt.subplots(2, 2, figsize=(12, 8))
+    if have_gait:
+        fig, axes = plt.subplots(2, 3, figsize=(16, 8))
+    else:
+        fig, axes = plt.subplots(2, 2, figsize=(12, 8))
     ax = axes[0, 0]
     ax.plot(t, r, alpha=0.4, label="eval reward")
     if len(r) >= window:
@@ -51,6 +56,16 @@ def save_progress_plot(history, path="training_progress.png", window: int = 10):
     axes[1, 0].set_title("Success rate (cumulative)")
     axes[1, 1].plot(t, np.maximum.accumulate(r) if len(r) else r)
     axes[1, 1].set_title(f"Best reward: {history.best_reward:.2f}")
+    if have_gait:
+        # gait-quality panels: a reward-farming collapsed policy is visible
+        # here even when summed reward rises (VERDICT r1 weak #3)
+        hf = np.asarray(gait.get("healthy_frac", []), dtype=float)
+        te = np.asarray(gait.get("tracking_error", []), dtype=float)
+        axes[0, 2].plot(t[-len(hf):] if len(hf) else [], hf, color="tab:green")
+        axes[0, 2].set_ylim(0, 1.05)
+        axes[0, 2].set_title("Healthy fraction (eval)")
+        axes[1, 2].plot(t[-len(te):] if len(te) else [], te, color="tab:red")
+        axes[1, 2].set_title("Velocity tracking error (m/s, healthy steps)")
     for a in axes.ravel():
         a.set_xlabel("timesteps")
         a.grid(alpha=0.3)

@@ -1,0 +1,93 @@
+"""Gait-quality eval metrics (VERDICT r1 weak #3).
+
+The round-1 training evidence was a collapsed reward-farming policy that
+summed-reward eval could not distinguish from walking.  These tests pin
+the aggregation semantics of Runner._gait_metrics (masking of post-done
+steps, healthy-only tracking error) and the TrainingHistory round-trip of
+the new gait series, without touching a device-heavy env.
+"""
+
+import numpy as np
+
+from quadruped_tpu.checkpoint import TrainingHistory
+from quadruped_tpu.learn.runner import Runner
+
+
+def _fake_out(valid, healthy, err, dist, channels=None):
+    B, T = valid.shape
+    return {
+        "valid": valid,
+        "healthy": healthy,
+        "tracking_error": err,
+        "distance_from_origin": dist,
+        "reward_components": channels or {},
+    }
+
+
+def test_gait_metrics_masks_post_done_steps():
+    # episode 0 ends after 2 of 4 steps; frozen steps past done must not
+    # count toward healthy_frac or tracking error
+    valid = np.array([[1, 1, 0, 0], [1, 1, 1, 1]], bool)
+    healthy = np.array([[1, 0, 1, 1], [1, 1, 1, 1]], bool)
+    err = np.array([[0.1, 9.0, 9.0, 9.0], [0.2, 0.2, 0.2, 0.2]])
+    dist = np.array([[0.0, 0.5, 0.5, 0.5], [0.0, 1.0, 2.0, 3.0]])
+    m = Runner._gait_metrics(_fake_out(valid, healthy, err, dist))
+    # 6 valid steps, 5 of them healthy
+    assert abs(m["healthy_frac"] - 5 / 6) < 1e-9
+    # tracking error only over valid & healthy steps: (0.1 + 4*0.2)/5
+    assert abs(m["tracking_error"] - (0.1 + 0.8) / 5) < 1e-9
+    # final distance per episode averaged: (0.5 + 3.0)/2
+    assert abs(m["distance"] - 1.75) < 1e-9
+
+
+def test_gait_metrics_reward_channels_masked():
+    valid = np.array([[1, 0]], bool)
+    healthy = np.ones((1, 2), bool)
+    err = np.zeros((1, 2))
+    dist = np.zeros((1, 2))
+    ch = {"get_up_reward": np.array([[20.0, 20.0]])}
+    m = Runner._gait_metrics(_fake_out(valid, healthy, err, dist, ch))
+    # the frozen post-done step's farmed get_up must not count
+    assert abs(m["channel/get_up_reward"] - 20.0) < 1e-9
+
+
+def test_gait_metrics_collapsed_policy_signature():
+    # a collapsed farming policy: unhealthy nearly all episode, large error
+    T = 100
+    valid = np.ones((2, T), bool)
+    healthy = np.zeros((2, T), bool)
+    healthy[:, :5] = True  # briefly healthy after reset
+    err = np.full((2, T), 0.4)
+    dist = np.zeros((2, T))
+    m = Runner._gait_metrics(_fake_out(valid, healthy, err, dist))
+    assert m["healthy_frac"] < 0.1  # the gate a walking policy passes
+
+
+def test_training_history_gait_roundtrip(tmp_path):
+    h = TrainingHistory()
+    h.append(1000, 5.0, 100.0, False,
+             gait_metrics={"healthy_frac": 0.97, "tracking_error": 0.08,
+                           "distance": 12.0})
+    h.append(2000, 6.0, 120.0, True,
+             gait_metrics={"healthy_frac": 0.99, "tracking_error": 0.05,
+                           "distance": 15.0})
+    p = tmp_path / "training_history.json"
+    h.save(p)
+    h2 = TrainingHistory.load(p)
+    assert h2.gait["healthy_frac"] == [0.97, 0.99]
+    assert h2.gait["tracking_error"] == [0.08, 0.05]
+    assert h2.series["rewards"] == [5.0, 6.0]
+
+
+def test_training_history_loads_pre_gait_files(tmp_path):
+    # resume from a round-1 history file with no gait series
+    h = TrainingHistory()
+    h.append(1000, 5.0, 100.0, False)
+    p = tmp_path / "training_history.json"
+    payload = {"best_reward": 5.0, **h.series}
+    import json
+
+    p.write_text(json.dumps(payload))
+    h2 = TrainingHistory.load(p)
+    assert h2.series["rewards"] == [5.0]
+    assert h2.gait["healthy_frac"] == []

@@ -10,8 +10,6 @@ TPU training batches into the kernel.
 import os
 import pathlib
 
-os.environ["QTPU_KERNEL_ON_CPU"] = "1"  # run the pallas kernel under interpret
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +24,27 @@ from quadruped_tpu.physics.solver import solve
 
 DATA = pathlib.Path(__file__).parent / "data"
 ITERS = int(__import__("os").environ.get("OPS_ITERS", 6))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _kernel_on_cpu():
+    """Route vmapped solves through the interpreted Pallas kernel for THIS
+    module only.  Setting the env var at import time leaked into every
+    module collected afterwards (ADVICE r1): test_robustness/test_terrain
+    would silently exercise the interpreter instead of the compiled XLA
+    path.  The solver-core cache is cleared on both edges because the
+    dispatch decision is baked in at trace time."""
+    from quadruped_tpu.physics import solver as _solver
+
+    _solver._CORE_CACHE.clear()
+    old = os.environ.get("QTPU_KERNEL_ON_CPU")
+    os.environ["QTPU_KERNEL_ON_CPU"] = "1"
+    yield
+    if old is None:
+        os.environ.pop("QTPU_KERNEL_ON_CPU", None)
+    else:
+        os.environ["QTPU_KERNEL_ON_CPU"] = old
+    _solver._CORE_CACHE.clear()
 
 
 @pytest.fixture(scope="module")
