@@ -283,6 +283,12 @@ class Runner:
             iter_seconds = time.time() - t_iter
             for k, v in phase_t.items():
                 metrics[f"phase_{k}"] = v
+            if phase_t and cfg.verbose:
+                print(
+                    f"  iter {iteration}: "
+                    + " ".join(f"{k} {v:.2f}s" for k, v in phase_t.items())
+                    + f" | total {iter_seconds:.2f}s"
+                )
             global_step += steps_per_iter
             step = global_step
             iteration += 1

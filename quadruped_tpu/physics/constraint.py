@@ -280,21 +280,58 @@ def assemble(
         incm_all = jnp.asarray(layout.con_includemargin, dtype)
         act_all = dist_all < incm_all
         cs = jnp.cumsum(act_all.astype(jnp.int32))
-        # k-th active candidate = first index i with cs[i] == k+1
-        sel = jnp.searchsorted(
-            cs, jnp.arange(1, K + 1, dtype=jnp.int32), side="left"
-        ).astype(jnp.int32)
+        # k-th active candidate = first index i with cs[i] == k+1.  cs is
+        # sorted, so that index equals the count of entries with cs <= k —
+        # one fused compare+reduce.  (jnp.searchsorted's default 'scan'
+        # method is 10 sequential batched binary-search gathers: measured
+        # 23 ms/substep at 4096 envs, ~35% of the whole assemble stage —
+        # tools/assemble_bench.py.)
+        ks = jnp.arange(K, dtype=jnp.int32)
+        sel = jnp.sum(
+            (cs[None, :] <= ks[:, None]).astype(jnp.int32), axis=1
+        )
         sel = jnp.minimum(sel, layout.ncon - 1)
         slot_valid = jnp.arange(K) < cs[-1]
         # actives beyond the K slots are silently discarded by the solver;
         # surface the count so env info / debug runs can detect contact
         # softening instead of it passing unnoticed (ADVICE r1)
         overflow = jnp.maximum(cs[-1] - K, 0)
-        dist, pos, frame = dist_all[sel], pos_all[sel], frame_all[sel]
+        # ONE packed gather for contact data + per-candidate constants:
+        # separate gathers cost ~3 ms each at 4096 envs (assemble_bench),
+        # so dist/pos/frame and the 9 constant tables ride a single
+        # (ncand, 13+18) gather each
+        data = jnp.concatenate(
+            [dist_all[:, None], pos_all, frame_all.reshape(-1, 9)], axis=1
+        )
+        const = jnp.asarray(
+            np.concatenate(
+                [
+                    np.asarray(layout.con_margin, np.float64)[:, None],
+                    np.asarray(layout.con_solref, np.float64),
+                    np.asarray(layout.con_solimp, np.float64),
+                    np.asarray(layout.con_friction, np.float64),
+                    np.asarray(layout.con_diagapprox, np.float64)[:, None],
+                    np.asarray(layout.con_body1, np.float64)[:, None],
+                    np.asarray(layout.con_body2, np.float64)[:, None],
+                    np.asarray(layout.con_condim, np.float64)[:, None],
+                    np.asarray(layout.con_includemargin, np.float64)[:, None],
+                ],
+                axis=1,
+            ),
+            dtype,
+        )
+        dsel = data[sel]
+        csel = const[sel]
+        dist, pos = dsel[:, 0], dsel[:, 1:4]
+        frame = dsel[:, 4:13].reshape(-1, 3, 3)
         # force unselected slots inactive regardless of the dummy gather
         dist = jnp.where(slot_valid, dist, 1e9)
-        gather = lambda a: jnp.asarray(a, dtype)[sel]
-        igather = lambda a: jnp.asarray(a)[sel]
+        margin, solref, solimp = csel[:, 0], csel[:, 1:3], csel[:, 3:8]
+        mu, diagapprox = csel[:, 8:13], csel[:, 13]
+        body1 = csel[:, 14].astype(jnp.int32)
+        body2 = csel[:, 15].astype(jnp.int32)
+        condim = csel[:, 16].astype(jnp.int32)
+        includemargin = csel[:, 17]
     else:
         K = layout.ncon
         sel = None
@@ -302,16 +339,16 @@ def assemble(
         dist, pos, frame = dist_all, pos_all, frame_all
         gather = lambda a: jnp.asarray(a, dtype)
         igather = lambda a: jnp.asarray(a)
+        margin = gather(layout.con_margin)
+        solref = gather(layout.con_solref)
+        solimp = gather(layout.con_solimp)
+        mu = gather(layout.con_friction)                  # (ncon, 5)
+        diagapprox = gather(layout.con_diagapprox)
+        body1 = igather(layout.con_body1)
+        body2 = igather(layout.con_body2)
+        condim = igather(layout.con_condim)
+        includemargin = gather(layout.con_includemargin)
     ncon = K
-    includemargin = gather(layout.con_includemargin)
-    margin = gather(layout.con_margin)
-    solref = gather(layout.con_solref)
-    solimp = gather(layout.con_solimp)
-    mu = gather(layout.con_friction)                      # (ncon, 5)
-    diagapprox = gather(layout.con_diagapprox)
-    body1 = igather(layout.con_body1)
-    body2 = igather(layout.con_body2)
-    condim = igather(layout.con_condim)
     con_active = dist < includemargin
 
     # Jacobian: rows (normal, t1, t2) translational; (normal, t1, t2) rotational

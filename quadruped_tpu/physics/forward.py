@@ -27,7 +27,7 @@ from ..mjcf.model import JNT_FREE, JNT_HINGE, PhysicsModel
 from .collision import CollisionTable, build_table
 from .constraint import EfcLayout, assemble, build_layout
 from .kinematics import Kin, fk
-from .math import quat_integrate
+from .math import chol_factor, chol_solve, quat_integrate
 from .smooth import smooth_dynamics
 from .solver import solve
 
@@ -159,7 +159,21 @@ def cfrc_ext(pl: Pipeline, params, kin: Kin, efc, con_force: jax.Array) -> jax.A
     The reference reads norms of these rows for the feet-contact, collision
     and unwanted-contact reward terms (go1_mujoco_env.py:611-613, 688-693,
     771-781); tests pin this against mjData.cfrc_ext.
-    """
+
+    Under vmap with the top-K contact layout this dispatches to a
+    batch-LAST formulation (_cfrc_core): the batch rides the 128-lane axis
+    instead of leaving 3/6-wide trailing dims padded to full tiles —
+    measured 2.1x at 4096 envs (tools notes in PLAN.md)."""
+    if efc.con_sel is not None:
+        return _cfrc_core(pl)(
+            jnp.asarray(params["body_mass"], con_force.dtype),
+            kin.xipos, efc.con_pos, efc.con_frame, con_force,
+            efc.con_active, efc.con_sel,
+        )
+    return _cfrc_single(pl, params, kin, efc, con_force)
+
+
+def _cfrc_single(pl: Pipeline, params, kin: Kin, efc, con_force: jax.Array) -> jax.Array:
     m = pl.m
     dtype = con_force.dtype
     active = efc.con_active.astype(dtype)[:, None]
@@ -204,6 +218,105 @@ def cfrc_ext(pl: Pipeline, params, kin: Kin, efc, con_force: jax.Array) -> jax.A
     return cfrc * jnp.asarray(world_mask_np, dtype)[:, None]
 
 
+_CFRC_CORE: "weakref.WeakKeyDictionary[Pipeline, object]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _cfrc_core(pl: Pipeline):
+    """custom_vmap cfrc accumulation: single-env path is _cfrc_single
+    (oracle-exact); the batch rule is batch-LAST so the env batch rides
+    the TPU lane axis (same dispatch pattern as solver._solver_core)."""
+    if pl in _CFRC_CORE:
+        return _CFRC_CORE[pl]
+
+    import types
+
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def core(mass, xipos, con_pos, con_frame, con_force, con_active, con_sel):
+        kin_v = types.SimpleNamespace(xipos=xipos)
+        efc_v = types.SimpleNamespace(
+            con_active=con_active, con_frame=con_frame, con_pos=con_pos,
+            con_sel=con_sel,
+        )
+        return _cfrc_single(pl, {"body_mass": mass}, kin_v, efc_v, con_force)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        flat_b = jax.tree.leaves(in_batched)
+        args = [
+            x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            for x, b in zip(args, flat_b)
+        ]
+        mass, xipos, con_pos, con_frame, con_force, con_active, con_sel = (
+            jnp.moveaxis(x, 0, -1) for x in args
+        )
+        out = _cfrc_blast(
+            pl, mass, xipos, con_pos, con_frame, con_force, con_active,
+            con_sel,
+        )
+        return jnp.moveaxis(out, -1, 0), True
+
+    _CFRC_CORE[pl] = core
+    return core
+
+
+def _cfrc_blast(pl, mass, xipos, con_pos, con_frame, con_force, con_active,
+                con_sel):
+    """Batch-LAST cfrc accumulation.  Shapes: mass (nbody,B),
+    xipos (nbody,3,B), con_pos (K,3,B), con_frame (K,3,3,B),
+    con_force (K,6,B), con_active (K,B), con_sel (K,B)."""
+    m = pl.m
+    dtype = con_force.dtype
+    root_of, root_oh_np, world_mask_np = _cfrc_consts(pl)
+    act = con_active.astype(dtype)[:, None, :]                # (K,1,B)
+    # world force/torque on geom2: frame rows are (n, t1, t2)
+    force_w = sum(
+        con_force[:, i, None, :] * con_frame[:, i, :, :] for i in range(3)
+    ) * act                                                   # (K,3,B)
+    torque_w = sum(
+        con_force[:, 3 + i, None, :] * con_frame[:, i, :, :]
+        for i in range(3)
+    ) * act
+    root_oh = jnp.asarray(root_oh_np, dtype)                  # (nbody,nbody)
+    mx = mass[:, None, :] * xipos                             # (nbody,3,B)
+    nroot_com = jnp.einsum("rb,bdB->rdB", root_oh, mx)
+    wsum = jnp.einsum("rb,bB->rB", root_oh, mass)
+    root_com = nroot_com / jnp.maximum(wsum, 1e-12)[:, None, :]
+    total_com = jnp.sum(mx, 0) / jnp.maximum(jnp.sum(mass, 0), 1e-12)
+    root_com = root_com.at[0].set(total_com)
+    ref_b = root_com[jnp.asarray(root_of)]                    # (nbody,3,B)
+
+    b1c = jnp.asarray(pl.layout.con_body1)[con_sel]           # (K,B)
+    b2c = jnp.asarray(pl.layout.con_body2)[con_sel]
+
+    def cross(a, b):                                          # (K,3,B)
+        ax, ay, az = a[:, 0], a[:, 1], a[:, 2]
+        bx, by, bz = b[:, 0], b[:, 1], b[:, 2]
+        return jnp.stack(
+            [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=1
+        )
+
+    # segment-sum over dynamic body ids as a small unrolled loop over the
+    # (static, tiny) body list: each step is full-lane (K,3,B) work; body 0
+    # (world) stays zero, matching mujoco
+    rows_t, rows_f = [jnp.zeros((3,) + mass.shape[1:], dtype)], [
+        jnp.zeros((3,) + mass.shape[1:], dtype)
+    ]
+    for b in range(1, m.nbody):
+        m1 = (b1c == b).astype(dtype)[:, None, :]             # (K,1,B)
+        m2 = (b2c == b).astype(dtype)[:, None, :]
+        arm = con_pos - ref_b[b][None]                        # (K,3,B)
+        tq = torque_w + cross(arm, force_w)
+        rows_t.append(jnp.sum((m2 - m1) * tq, 0))
+        rows_f.append(jnp.sum((m2 - m1) * force_w, 0))
+    cfrc_t = jnp.stack(rows_t, 0)                             # (nbody,3,B)
+    cfrc_f = jnp.stack(rows_f, 0)
+    return jnp.concatenate([cfrc_t, cfrc_f], axis=1)          # (nbody,6,B)
+
+
 def integrate(
     pl: Pipeline, params, qpos: jax.Array, qvel: jax.Array, qacc: jax.Array,
     M: jax.Array,
@@ -215,8 +328,10 @@ def integrate(
     B = jnp.asarray(params["dof_damping"], dtype)
     with jax.default_matmul_precision("highest"):
         Mh = M + h * jnp.diag(B)
-        L = jnp.linalg.cholesky(Mh)
-        qvel_new = qvel + h * jax.scipy.linalg.cho_solve((L, True), M @ qacc)
+        # unrolled factor/solve (math.chol_factor): lapack-style batched
+        # custom calls are very slow vmapped on TPU
+        L = chol_factor(Mh)
+        qvel_new = qvel + h * chol_solve(L, M @ qacc)
 
     # hinges: one constant-projection matmul (scatter-free); free joints:
     # exact quaternion step

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..mjcf.model import ACT_MOTOR, ACT_POSITION, JNT_FREE, PhysicsModel
 from .kinematics import Kin, ancestor_dof_pair_mask, tree_levels
-from .math import force_cross, motion_cross, skew
+from .math import chol_factor, chol_solve, force_cross, motion_cross, skew
 
 
 def body_inertias(m: PhysicsModel, params, kin: Kin) -> jax.Array:
@@ -134,6 +134,8 @@ def smooth_dynamics(
     bias = rne_bias(m, params, kin, qvel)
     qfrc_act = actuator_force(m, params, qpos, qvel, ctrl)
     qfrc_smooth = qfrc_act + passive_force(m, params, qvel) - bias
-    L = jnp.linalg.cholesky(M)
-    qacc_smooth = jax.scipy.linalg.cho_solve((L, True), qfrc_smooth)
+    # unrolled factor/solve: lapack-style batched cholesky/triangular-solve
+    # custom calls are very slow vmapped on TPU (see math.chol_factor)
+    L = chol_factor(M)
+    qacc_smooth = chol_solve(L, qfrc_smooth)
     return M, L, qfrc_smooth, qacc_smooth, qfrc_act

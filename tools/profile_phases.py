@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from quadruped_tpu.utils import tpu_jit
 from quadruped_tpu.utils import cache as _cache
 _cache.enable()
 
@@ -70,13 +71,13 @@ def main():
           f"iterations={m.opt.iterations}")
 
     # null-program overhead: dispatch + 4-byte D2H round trip
-    null = jax.jit(lambda x: x + 1.0)
+    null = tpu_jit(lambda x: x + 1.0)
     t_null = bench(null, (jnp.zeros(8, jnp.float32),), args.iters)
     print(f"null program + sync: {t_null*1e6:.0f} us/call")
 
     for B in [int(x) for x in args.batches.split(",")]:
         keys = jax.random.split(jax.random.PRNGKey(0), B)
-        st = jax.jit(jax.vmap(env.reset))(keys)
+        st = tpu_jit(jax.vmap(env.reset))(keys)
         st = jax.tree.map(
             lambda x: x.astype(jnp.float32)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, st)
@@ -85,42 +86,71 @@ def main():
         ctrl = jnp.zeros((B, 12), jnp.float32)
         warm = jnp.zeros_like(qvel)
 
-        jfk = jax.jit(jax.vmap(lambda qp, qv: fk(m, qp, qv)))
-        kin = jfk(qpos, qvel)
-        t_fk = bench(jfk, (qpos, qvel), args.iters)
+        us = lambda t: f"{t*1e6:10.0f} us"
 
-        jsmooth = jax.jit(jax.vmap(
+        jfk = tpu_jit(jax.vmap(lambda qp, qv: fk(m, qp, qv)))
+        kin = jfk(qpos, qvel)
+        print(f"B={B:>6}  fk        {us(bench(jfk, (qpos, qvel), args.iters))}",
+              flush=True)
+
+        jsmooth = tpu_jit(jax.vmap(
             lambda pr, k, qp, qv, c: smooth_dynamics(m, pr, k, qp, qv, c)))
         sm = jsmooth(params, kin, qpos, qvel, ctrl)
-        t_sm = bench(jsmooth, (params, kin, qpos, qvel, ctrl), args.iters)
+        print(f"B={B:>6}  smooth    "
+              f"{us(bench(jsmooth, (params, kin, qpos, qvel, ctrl), args.iters))}",
+              flush=True)
         M_, L_, qfrc_s, qacc_s, qfrc_a = sm
 
-        jasm = jax.jit(jax.vmap(
+        jasm = tpu_jit(jax.vmap(
             lambda k, qp, qv: assemble(m, pl_.layout, pl_.table, k, qp, qv)))
         efc = jasm(kin, qpos, qvel)
-        t_asm = bench(jasm, (kin, qpos, qvel), args.iters)
+        print(f"B={B:>6}  assemble  "
+              f"{us(bench(jasm, (kin, qpos, qvel), args.iters))}", flush=True)
 
-        jsolve = jax.jit(jax.vmap(
-            lambda Mm, qa, e, w: solve(m, Mm, qa, e, warmstart=w)))
-        _ = jsolve(M_, qacc_s, efc, warm)
-        t_solve = bench(jsolve, (M_, qacc_s, efc, warm), args.iters)
+        try:
+            jsolve = tpu_jit(jax.vmap(
+                lambda Mm, qa, e, w: solve(m, Mm, qa, e, warmstart=w)))
+            _ = jsolve(M_, qacc_s, efc, warm)
+            t_solve = bench(jsolve, (M_, qacc_s, efc, warm), args.iters)
+            print(f"B={B:>6}  solve     {us(t_solve)}", flush=True)
+            qacc_, qfrc_c, con_f = jsolve(M_, qacc_s, efc, warm)
+        except Exception as e:
+            # standalone solve can OOM scoped vmem where the fused substep
+            # program compiles fine — keep going
+            print(f"B={B:>6}  solve     FAILED: {str(e)[:120]}", flush=True)
+            qacc_ = qacc_s
+            con_f = jnp.zeros(
+                efc.con_dist.shape + (6,), jnp.float32
+            )
 
-        jstep = jax.jit(jax.vmap(
+        jcfrc = tpu_jit(jax.vmap(
+            lambda pr, k, e, f_: F.cfrc_ext(pl_, pr, k, e, f_)))
+        _ = jcfrc(params, kin, efc, con_f)
+        print(f"B={B:>6}  cfrc_ext  "
+              f"{us(bench(jcfrc, (params, kin, efc, con_f), args.iters))}",
+              flush=True)
+
+        jint = tpu_jit(jax.vmap(
+            lambda pr, qp, qv, qa, Mm: F.integrate(pl_, pr, qp, qv, qa, Mm)))
+        _ = jint(params, qpos, qvel, qacc_, M_)
+        print(f"B={B:>6}  integrate "
+              f"{us(bench(jint, (params, qpos, qvel, qacc_, M_), args.iters))}",
+              flush=True)
+
+        jstep = tpu_jit(jax.vmap(
             lambda pr, qp, qv, c, w: F.step(pl_, pr, qp, qv, c, warmstart=w)))
         _ = jstep(params, qpos, qvel, ctrl, warm)
-        t_step = bench(jstep, (params, qpos, qvel, ctrl, warm), args.iters)
+        print(f"B={B:>6}  substep   "
+              f"{us(bench(jstep, (params, qpos, qvel, ctrl, warm), args.iters))}",
+              flush=True)
 
-        jctrl = jax.jit(jax.vmap(
+        jctrl = tpu_jit(jax.vmap(
             lambda pr, qp, qv, c, w: F.step_n(
                 pl_, pr, qp, qv, c, cfg.frame_skip, warmstart=w)))
         _ = jctrl(params, qpos, qvel, ctrl, warm)
         t_ctrl = bench(jctrl, (params, qpos, qvel, ctrl, warm), args.iters)
-
-        us = lambda t: f"{t*1e6:10.0f}"
-        print(f"B={B:>6}  (us/call)  fk {us(t_fk)}  smooth {us(t_sm)}  "
-              f"assemble {us(t_asm)}  solve {us(t_solve)}  "
-              f"substep {us(t_step)}  ctrlstep(10x) {us(t_ctrl)}  "
-              f"-> {B / t_ctrl:,.0f} env-steps/s")
+        print(f"B={B:>6}  ctrl(10x) {us(t_ctrl)}  "
+              f"-> {B / t_ctrl:,.0f} env-steps/s", flush=True)
 
 
 if __name__ == "__main__":
