@@ -38,7 +38,12 @@ BASELINE = 1.0e6
 
 
 def build():
-    it = os.environ.get("QTPU_SOLVER_ITERS")
+    # 8 warmstarted Newton iterations is the TRAINING profile: max qpos
+    # drift vs the MuJoCo oracle over 300 substeps is 1.8e-4 (15 iters:
+    # 7e-10; A/B table in PLAN.md).  MuJoCo itself runs 2-5 warm
+    # iterations to tolerance on this model; oracle-parity tests pin the
+    # near-exact 15-iteration profile explicitly.
+    it = os.environ.get("QTPU_SOLVER_ITERS", "8")
     env = Go1Env(Go1Config(
         ctrl_type="torque",
         solver_iterations=int(it) if it else None,

@@ -287,7 +287,17 @@ class Runner:
                 print(
                     f"  iter {iteration}: "
                     + " ".join(f"{k} {v:.2f}s" for k, v in phase_t.items())
-                    + f" | total {iter_seconds:.2f}s"
+                    + f" | total {iter_seconds:.2f}s",
+                    flush=True,
+                )
+            elif cfg.verbose:
+                # one-line heartbeat: the stall supervisor
+                # (tools/train_supervisor.py) watches log mtime, and evals
+                # can be many iterations apart
+                print(
+                    f"  iter {iteration} done: {steps_per_iter/iter_seconds:,.0f} "
+                    f"steps/s  r={float(metrics['mean_reward']):.3f}",
+                    flush=True,
                 )
             global_step += steps_per_iter
             step = global_step

@@ -1,0 +1,147 @@
+"""Stall-tolerant training supervisor for the axon TPU tunnel.
+
+The tunnel can wedge mid-run (round 1 lost a 5M-step run to this; round 2
+reproduced it: a training iteration blocked >15 min with the device
+unreachable).  The in-process JAX backend cannot recover from a wedged
+device, so the supervisor runs training as a child process and:
+
+  * watches the child's log mtime; no progress for --stall_minutes means
+    the tunnel is stuck -> kill the child, wait for device recovery
+    (tools/tpu_ping.py until it answers), and relaunch
+  * relaunches with --model_path pointed at the newest resumable
+    checkpoint in the run dir, so segments continue the same run
+    (reference resume semantics: train.py:112-119, reset_num_timesteps
+    False)
+  * stops when the run reaches --total_timesteps or --max_restarts
+
+Usage:
+  python tools/train_supervisor.py --total_timesteps 100000000 \
+      -- --num_parallel_envs 4096 --ctrl_type torque --run_name gait
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def newest_checkpoint(run_dir: Path) -> Path | None:
+    if not run_dir.exists():
+        return None
+    cands = []
+    for p in run_dir.iterdir():
+        m = re.fullmatch(r"checkpoint_(\d+)", p.name)
+        if m and (p / "metadata.json").exists():
+            cands.append((int(m.group(1)), p))
+    if (run_dir / "final_model").exists():
+        cands.append((1 << 62, run_dir / "final_model"))
+    return max(cands)[1] if cands else None
+
+
+def global_step_of(ckpt: Path | None) -> int:
+    if ckpt is None:
+        return 0
+    import json
+
+    meta = ckpt / "metadata.json"
+    if meta.exists():
+        return int(json.loads(meta.read_text()).get("global_step", 0))
+    return 0
+
+
+def ping_until_alive(timeout_s=1200):
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        r = subprocess.run(
+            [sys.executable, str(REPO / "tools/tpu_ping.py")],
+            capture_output=True, timeout=180, text=True, cwd=REPO,
+        )
+        if r.returncode == 0 and "result:" in r.stdout:
+            return True
+        print(f"[supervisor] device not ready (rc={r.returncode}); waiting",
+              flush=True)
+        time.sleep(30)
+    return False
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--total_timesteps", type=int, required=True)
+    p.add_argument("--stall_minutes", type=float, default=12.0)
+    p.add_argument("--max_restarts", type=int, default=30)
+    p.add_argument("--log", default="/tmp/supervised_train.log")
+    p.add_argument("train_args", nargs=argparse.REMAINDER,
+                   help="-- then quadruped_tpu.cli.train flags")
+    args = p.parse_args()
+    extra = [a for a in args.train_args if a != "--"]
+
+    # run dir is created by the child on first launch; discover it from the
+    # --run_name flag so resume segments share it
+    run_name = None
+    if "--run_name" in extra:
+        run_name = extra[extra.index("--run_name") + 1]
+
+    restarts = 0
+    run_dir: Path | None = None
+    while restarts <= args.max_restarts:
+        resume = newest_checkpoint(run_dir) if run_dir else None
+        done = global_step_of(resume)
+        if done >= args.total_timesteps:
+            print(f"[supervisor] target reached: {done:,}", flush=True)
+            return
+        cmd = [
+            sys.executable, "-m", "quadruped_tpu.cli.train", "--run", "train",
+            "--total_timesteps", str(args.total_timesteps),
+        ] + extra
+        if resume is not None:
+            cmd += ["--model_path", str(resume)]
+        print(f"[supervisor] launch (resume={resume}): {' '.join(cmd)}",
+              flush=True)
+        log = open(args.log, "ab")
+        child = subprocess.Popen(
+            cmd, stdout=log, stderr=subprocess.STDOUT, cwd=REPO,
+            start_new_session=True,
+        )
+        try:
+            while True:
+                time.sleep(60)
+                if child.poll() is not None:
+                    print(f"[supervisor] child exited rc={child.returncode}",
+                          flush=True)
+                    break
+                age = time.time() - os.path.getmtime(args.log)
+                if age > args.stall_minutes * 60:
+                    print(f"[supervisor] stall: log idle {age/60:.1f} min — "
+                          "killing child", flush=True)
+                    os.killpg(child.pid, signal.SIGKILL)
+                    child.wait(timeout=60)
+                    break
+        finally:
+            log.close()
+
+        # find the run dir (newest models/<ts>-<run_name>)
+        if run_dir is None and run_name:
+            cands = sorted(Path("models").glob(f"*-{run_name}"))
+            if cands:
+                run_dir = cands[-1]
+                print(f"[supervisor] run dir: {run_dir}", flush=True)
+        if child.returncode == 0:
+            print("[supervisor] training completed", flush=True)
+            return
+        restarts += 1
+        if not ping_until_alive():
+            print("[supervisor] device never recovered; giving up", flush=True)
+            return
+    print("[supervisor] max restarts exceeded", flush=True)
+
+
+if __name__ == "__main__":
+    main()
