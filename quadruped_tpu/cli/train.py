@@ -66,6 +66,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--terrain_amplitude", type=float, default=0.04)
     p.add_argument("--solver_iterations", type=int, default=None,
                    help="Newton iterations override (default: model opt, 15)")
+    p.add_argument("--reward_profile", type=str, default="full",
+                   choices=["full", "locomotion"],
+                   help="'full' is the reference's current reward stack "
+                        "(go1_mujoco_env.py:69-89) incl. the fall-recovery "
+                        "curriculum channels. 'locomotion' zeroes the "
+                        "get_up(x20)/recovery(x10) channels and fallen "
+                        "starts — the objective the reference's walking-era "
+                        "models were actually trained on (models/2024-04-*; "
+                        "under the full stack, farming recovery reward "
+                        "while unhealthy pays ~25/step vs ~5.5/step for "
+                        "healthy walking, so at gamma=0.99 a collapsed "
+                        "policy is the true optimum; every shipped "
+                        "reference artifact predates those channels).")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="Capture a jax.profiler trace of a few training "
                         "iterations to this directory (view with "
@@ -74,9 +87,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_env(args):
-    from ..env.config import Go1Config
+    from ..env.config import Go1Config, RewardWeights
     from ..env.go1 import Go1Env
 
+    extra = {}
+    if getattr(args, "reward_profile", "full") == "locomotion":
+        extra = dict(
+            rewards=RewardWeights(recovery=0.0, get_up=0.0),
+            fallen_start_prob=0.0,
+        )
     cfg = Go1Config(
         ctrl_type=args.ctrl_type,
         biped=args.biped,
@@ -86,6 +105,7 @@ def make_env(args):
         terrain=args.terrain,
         terrain_amplitude=args.terrain_amplitude,
         collision_mode=args.collision,
+        **extra,
     )
     return Go1Env(cfg)
 
@@ -185,6 +205,13 @@ def run_test(args):
 
 
 def main(argv=None):
+    if os.environ.get("QTPU_FORCE_CPU"):
+        # the JAX_PLATFORMS env var is not honored once the axon PJRT
+        # plugin is discoverable (plugin discovery blocks on a dead
+        # tunnel); jax.config takes effect before backend init
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args = build_parser().parse_args(argv)
     if args.run == "train":
         run_train(args)

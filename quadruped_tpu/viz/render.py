@@ -35,19 +35,83 @@ def _visual_scene_path(ctrl_type: str) -> str | None:
     directly), videos render with the full mesh look of the reference
     (train.py:53-61 1024x768 'tracking' camera).  Falls back to probing
     the conventional checkout location."""
-    import glob
-
     cand = os.environ.get("QTPU_VISUAL_SCENE")
     if cand and os.path.exists(cand):
         return cand
-    for pat in (
-        f"/root/reference/unitree_go1/scene_{ctrl_type}.xml",
-        f"unitree_go1/scene_{ctrl_type}.xml",
-    ):
-        hits = glob.glob(pat)
-        if hits:
-            return hits[0]
     return None
+
+
+def _stl_bytes(verts: np.ndarray, faces: np.ndarray) -> bytes:
+    """Binary STL from (n,3) f32 vertices and (m,3) i32 faces."""
+    import struct
+
+    tri = verts[faces]
+    m = len(faces)
+    rec = np.zeros(
+        m, dtype=np.dtype([("n", "<3f4"), ("v", "<9f4"), ("attr", "<u2")])
+    )
+    rec["v"] = tri.reshape(m, 9)
+    return b"\x00" * 80 + struct.pack("<I", m) + rec.tobytes()
+
+
+def _bundled_visual_model(ctrl_type: str):
+    """(xml, assets) for the self-contained mesh-visual scene.
+
+    quadruped_tpu/assets/go1_visual.npz carries compact derived visual
+    meshes (tools/gen_visual_assets.py: reference STLs decimated ~5x, plus
+    a synthesized trunk — the upstream checkout is missing trunk.stl) and
+    the body->(mesh, quat) placement map from the reference MJCF body
+    tree.  Visual geoms are injected into the framework's own physics XML
+    in group 2 (collision geoms live in group 3), so the same model
+    renders mesh-quality video with zero reference-checkout dependency."""
+    import json
+    import re
+
+    from .. import assets as assets_pkg
+    from ..assets import go1_xml
+
+    path = os.path.join(os.path.dirname(assets_pkg.__file__), "go1_visual.npz")
+    if not os.path.exists(path):
+        return None
+    npz = np.load(path)
+    placements = json.loads(bytes(npz["placements"]).decode())
+    meshes = sorted({m for m, _q in placements.values()})
+    vfs = {f"{n}.stl": _stl_bytes(npz[f"{n}_v"], npz[f"{n}_f"])
+           for n in meshes}
+
+    xml = go1_xml(ctrl_type)
+    asset_block = (
+        "<asset>"
+        + "".join(f'<mesh name="{n}" file="{n}.stl" />' for n in meshes)
+        + '<texture type="2d" name="grid" builtin="checker" mark="cross" '
+        'rgb1="0.18 0.2 0.23" rgb2="0.24 0.26 0.29" '
+        'markrgb="0.8 0.8 0.8" width="300" height="300" />'
+        '<material name="grid" texture="grid" texrepeat="4 4" '
+        'texuniform="true" reflectance="0.2" />'
+        "</asset>"
+        '<visual><headlight ambient="0.45 0.45 0.45" '
+        'diffuse="0.7 0.7 0.7" specular="0.2 0.2 0.2" /></visual>'
+    )
+    xml = xml.replace("<worldbody>", asset_block + "<worldbody>", 1)
+    xml = xml.replace(
+        'rgba="0.5 0.5 0.5 1" name="floor"',
+        'material="grid" name="floor"',
+    )
+    for body, (mesh, quat) in placements.items():
+        q = " ".join(str(float(c)) for c in quat)
+        rgba = "0.38 0.39 0.42 1" if mesh != "trunk" else "0.72 0.66 0.2 1"
+        geom = (
+            f'<geom type="mesh" mesh="{mesh}" quat="{q}" contype="0" '
+            f'conaffinity="0" group="2" rgba="{rgba}" />'
+        )
+        # insert right after the body's inertial element
+        pat = re.compile(
+            rf'(<body name="{body}"[^>]*>\s*<inertial[^>]*/>)'
+        )
+        xml, n = pat.subn(rf"\1{geom}", xml, count=1)
+        if n != 1:
+            return None
+    return xml, vfs
 
 
 def _box_stl(hx: float, hy: float, hz: float) -> bytes:
@@ -80,6 +144,16 @@ def _make_renderer(ctrl_type: str, width: int, height: int):
     import mujoco
 
     visual = _visual_scene_path(ctrl_type)
+    if visual is None:
+        try:
+            bundled = _bundled_visual_model(ctrl_type)
+            if bundled is not None:
+                xml, vfs = bundled
+                mj = mujoco.MjModel.from_xml_string(xml, vfs)
+                renderer = mujoco.Renderer(mj, height=height, width=width)
+                return mj, renderer, True
+        except Exception:
+            pass
     if visual is not None:
         try:
             # the upstream XML references includes/STLs without a meshdir;

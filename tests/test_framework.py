@@ -134,6 +134,55 @@ def test_cli_parser_accepts_reference_flags():
     assert args.biped and args.rand_power == 0.5
 
 
+def test_cli_locomotion_profile():
+    """--reward_profile locomotion zeroes the fall-recovery channels and
+    fallen starts (the objective the reference's walking-era artifacts were
+    trained on — results/parity/ENDORSED_MODELS.md)."""
+    from quadruped_tpu.cli.train import build_parser, make_env
+
+    p = build_parser()
+    args = p.parse_args(
+        ["--run", "train", "--reward_profile", "locomotion"]
+    )
+    env = make_env(args)
+    assert env.cfg.rewards.get_up == 0.0
+    assert env.cfg.rewards.recovery == 0.0
+    assert env.cfg.fallen_start_prob == 0.0
+    # the rest of the stack is untouched
+    assert env.cfg.rewards.linear_vel_tracking == 2.0
+    assert env.cfg.costs.unhealthy_state == 5.0
+
+    default = make_env(p.parse_args(["--run", "train"]))
+    assert default.cfg.rewards.get_up == 20.0
+    assert default.cfg.fallen_start_prob == 0.2
+
+
+def test_bundled_visual_model_compiles():
+    """The self-contained mesh-visual scene (assets/go1_visual.npz +
+    injected visual geoms) must compile in mujoco with no reference
+    checkout present (VERDICT r1 missing #4)."""
+    import mujoco
+
+    from quadruped_tpu.viz.render import _bundled_visual_model
+
+    for ctrl in ("torque", "position"):
+        out = _bundled_visual_model(ctrl)
+        assert out is not None
+        xml, vfs = out
+        assert set(vfs) == {
+            "calf.stl", "hip.stl", "thigh.stl", "thigh_mirror.stl",
+            "trunk.stl",
+        }
+        mj = mujoco.MjModel.from_xml_string(xml, vfs)
+        # 13 injected visual geoms (group 2), one per placement
+        assert int((mj.geom_group == 2).sum()) == 13
+        # physics untouched: same nq/nv/nu as the physics-only model
+        from quadruped_tpu.assets import go1_xml
+
+        phys = mujoco.MjModel.from_xml_string(go1_xml(ctrl))
+        assert (mj.nq, mj.nv, mj.nu) == (phys.nq, phys.nv, phys.nu)
+
+
 def test_runner_eval(tmp_path):
     """Deterministic evaluation: shapes, finiteness, episode accounting."""
     import jax

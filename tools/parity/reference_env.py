@@ -66,7 +66,14 @@ class ReferenceGo1Env:
     MAX_UNHEALTHY = 15.0  # seconds (go1_mujoco_env.py:129-130)
 
     def __init__(self, ctrl_type="torque", rand_power=0.0,
-                 fallen_start_prob=0.2, seed=0):
+                 fallen_start_prob=0.2, seed=0,
+                 w_recovery=10.0, w_get_up=20.0):
+        # w_recovery/w_get_up=0 + fallen_start_prob=0 is the 'locomotion'
+        # profile: the objective the reference's walking-era artifacts
+        # (models/2024-04-*) were trained on, before the fall-recovery
+        # channels were added for the standing task
+        self.w_recovery = w_recovery
+        self.w_get_up = w_get_up
         self.mj = mujoco.MjModel.from_xml_string(go1_xml(ctrl_type))
         self.d = mujoco.MjData(self.mj)
         self.rng = np.random.default_rng(seed)
@@ -191,7 +198,7 @@ class ReferenceGo1Env:
             recovery = 0.0
             self.last_health_dev = np.zeros(3)
         else:
-            recovery = np.sum(self.last_health_dev - dev) * 10.0
+            recovery = np.sum(self.last_health_dev - dev) * self.w_recovery
             self.last_health_dev = dev
 
         if healthy:
@@ -199,7 +206,7 @@ class ReferenceGo1Env:
         else:
             height = np.clip(d.xpos[1][2] / 0.22, 0.0, 1.0)
             orient = 1.0 - np.sum(pg[:2] ** 2)
-            get_up = (1.5 * height + 0.5 * orient) * 20.0
+            get_up = (1.5 * height + 0.5 * orient) * self.w_get_up
 
         scale = 1.0 if healthy else 0.1
         torque = np.sum(d.qfrc_actuator[-12:] ** 2) * scale * 2e-4

@@ -32,19 +32,28 @@ sys.path.insert(
 OUT = Path("results/parity")
 
 
+def suffix(args):
+    return "" if args.reward_profile == "full" else f"_{args.reward_profile}"
+
+
 def run_reference(args):
     import numpy as np
 
     from reference_env import ReferenceGo1Env
     from torch_ppo import PPO
 
+    prof = (
+        dict(w_recovery=0.0, w_get_up=0.0, fallen_start_prob=0.0)
+        if args.reward_profile == "locomotion" else {}
+    )
     envs = [
-        ReferenceGo1Env(args.ctrl_type, rand_power=0.0, seed=args.seed + i)
+        ReferenceGo1Env(args.ctrl_type, rand_power=0.0, seed=args.seed + i,
+                        **prof)
         for i in range(args.num_envs)
     ]
     ppo = PPO(envs, lr=args.learning_rate, n_steps=args.n_steps,
               seed=args.seed)
-    make_eval = lambda s: ReferenceGo1Env(args.ctrl_type, seed=s)
+    make_eval = lambda s: ReferenceGo1Env(args.ctrl_type, seed=s, **prof)
     hist = []
     steps = 0
     t0 = time.time()
@@ -58,7 +67,8 @@ def run_reference(args):
                  tracking_error=te, train_reward=float(mean_r))
         )
         OUT.mkdir(parents=True, exist_ok=True)
-        (OUT / "reference_history.json").write_text(json.dumps(hist, indent=1))
+        (OUT / f"reference{suffix(args)}_history.json").write_text(
+            json.dumps(hist, indent=1))
         sps = steps / (time.time() - t0)
         print(
             f"[ref {steps:>9,}] eval {er:8.1f} len {el:6.1f} "
@@ -69,18 +79,30 @@ def run_reference(args):
 
 def run_qtpu(args):
     import jax
+
+    if os.environ.get("QTPU_FORCE_CPU"):
+        # JAX_PLATFORMS in the environment is not honored once the axon
+        # plugin is discoverable (and a dead tunnel blocks init) — force
+        # the platform through jax.config like tests/conftest.py does
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from quadruped_tpu.utils import cache as _cache
 
     _cache.enable()
 
-    from quadruped_tpu.env.config import Go1Config
+    from quadruped_tpu.env.config import Go1Config, RewardWeights
     from quadruped_tpu.env.go1 import Go1Env
     from quadruped_tpu.learn.ppo import PPO, PPOConfig
     from quadruped_tpu.learn.runner import Runner, RunnerConfig
 
-    env = Go1Env(Go1Config(ctrl_type=args.ctrl_type, collision_mode="full"))
+    prof = (
+        dict(rewards=RewardWeights(recovery=0.0, get_up=0.0),
+             fallen_start_prob=0.0)
+        if args.reward_profile == "locomotion" else {}
+    )
+    env = Go1Env(Go1Config(ctrl_type=args.ctrl_type, collision_mode="full",
+                           **prof))
     batch = args.num_envs * args.n_steps
     ppo_cfg = PPOConfig(
         num_envs=args.num_envs,
@@ -113,7 +135,8 @@ def run_qtpu(args):
                  train_reward=mean_r)
         )
         OUT.mkdir(parents=True, exist_ok=True)
-        (OUT / "qtpu_history.json").write_text(json.dumps(hist, indent=1))
+        (OUT / f"qtpu{suffix(args)}_history.json").write_text(
+            json.dumps(hist, indent=1))
         sps = steps / (time.time() - t0)
         print(
             f"[qtpu {steps:>9,}] eval {ep_rew.mean():8.1f} "
@@ -126,8 +149,8 @@ def run_qtpu(args):
 def compare(args):
     import numpy as np
 
-    ref = json.loads((OUT / "reference_history.json").read_text())
-    qt = json.loads((OUT / "qtpu_history.json").read_text())
+    ref = json.loads((OUT / f"reference{suffix(args)}_history.json").read_text())
+    qt = json.loads((OUT / f"qtpu{suffix(args)}_history.json").read_text())
     # final-quarter mean eval reward on each side (same total steps)
     tail = lambda h: np.mean([r["eval_reward"] for r in h[-max(1, len(h) // 4):]])
     r_ref, r_qt = tail(ref), tail(qt)
@@ -141,7 +164,7 @@ def compare(args):
         f"{qt[-1]['step']:,} steps",
         f"- relative gap: {gap*100:+.1f}% (BASELINE target: within 5%)",
     ]
-    (OUT / "PARITY.md").write_text("\n".join(lines) + "\n")
+    (OUT / f"PARITY{suffix(args)}.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
 
     import matplotlib
@@ -162,8 +185,8 @@ def compare(args):
         ax.grid(alpha=0.3)
         ax.legend()
     fig.tight_layout()
-    fig.savefig(OUT / "parity.png", dpi=100)
-    print(f"plot -> {OUT/'parity.png'}")
+    fig.savefig(OUT / f"parity{suffix(args)}.png", dpi=100)
+    print(f"plot -> {OUT}/parity{suffix(args)}.png")
 
 
 def main():
@@ -175,6 +198,8 @@ def main():
     p.add_argument("--n_steps", type=int, default=2048)    # sb3 default
     p.add_argument("--learning_rate", type=float, default=3e-4)
     p.add_argument("--ctrl_type", default="torque")
+    p.add_argument("--reward_profile", default="full",
+                   choices=["full", "locomotion"])
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
     if args.side == "reference":
