@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_frequency", type=int, default=300_000)
     p.add_argument("--model_path", type=str, default=None,
                    help="Checkpoint dir: resume (train) or policy (test).")
+    p.add_argument("--robot", type=str, choices=["go1", "go2"],
+                   default="go1",
+                   help="go1 = reference robot; go2 = BASELINE config 4 "
+                        "(authored asset, tools/gen_go2_assets.py)")
     p.add_argument("--ctrl_type", type=str, choices=["torque", "position"],
                    default="position")
     p.add_argument("--biped", action="store_true")
@@ -97,6 +101,7 @@ def make_env(args):
             fallen_start_prob=0.0,
         )
     cfg = Go1Config(
+        robot=getattr(args, "robot", "go1"),
         ctrl_type=args.ctrl_type,
         biped=args.biped,
         rand_power=args.rand_power,
@@ -200,6 +205,7 @@ def run_test(args):
             render_trajectory(
                 out["qpos"][i][::1][: int(ep_len[i])], p,
                 env.cfg.ctrl_type, fps=30, every=every,
+                robot=getattr(env.cfg, "robot", "go1"),
             )
             print(f"  recorded {p}")
 

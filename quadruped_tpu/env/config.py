@@ -74,6 +74,10 @@ class DomainRandomization:
 
 @dataclasses.dataclass(eq=False)
 class Go1Config:
+    # "go1" (reference robot) or "go2" (BASELINE config 4; authored asset,
+    # tools/gen_go2_assets.py) — entity names match, so the whole env/
+    # reward stack is robot-agnostic
+    robot: str = "go1"
     ctrl_type: str = "torque"                # scene_{ctrl_type}.xml selection
     biped: bool = False
     rand_power: float = 0.0                  # reset joint-noise scale

@@ -80,10 +80,12 @@ class Go1Env:
     """
 
     def __init__(self, cfg: Go1Config, model: PhysicsModel | None = None):
-        from ..assets import go1_model
+        from ..assets import robot_model
 
         self.cfg = cfg
-        self.m = model if model is not None else go1_model(cfg.ctrl_type)
+        self.m = model if model is not None else robot_model(
+            getattr(cfg, "robot", "go1"), cfg.ctrl_type
+        )
         if cfg.solver_iterations is not None:
             self.m.opt.iterations = int(cfg.solver_iterations)
         mode = cfg.collision_mode

@@ -412,6 +412,7 @@ class Runner:
                             qpos_log[: n_frames * every], path,
                             self.env.cfg.ctrl_type, fps=cfg.video_fps,
                             every=every,
+                            robot=getattr(self.env.cfg, "robot", "go1"),
                         )
                         hist = plots.termination_histogram(
                             out["termination_reason"][

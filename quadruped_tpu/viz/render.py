@@ -136,7 +136,8 @@ def _box_stl(hx: float, hy: float, hz: float) -> bytes:
     return out
 
 
-def _make_renderer(ctrl_type: str, width: int, height: int):
+def _make_renderer(ctrl_type: str, width: int, height: int,
+                   robot: str = "go1"):
     """mujoco renderer: photoreal visual scene when available, otherwise
     our exported physics XML (collision geoms, group 3)."""
     global _RENDERER, _RENDER_MODEL
@@ -144,7 +145,7 @@ def _make_renderer(ctrl_type: str, width: int, height: int):
     import mujoco
 
     visual = _visual_scene_path(ctrl_type)
-    if visual is None:
+    if visual is None and robot == "go1":
         try:
             bundled = _bundled_visual_model(ctrl_type)
             if bundled is not None:
@@ -189,9 +190,9 @@ def _make_renderer(ctrl_type: str, width: int, height: int):
         except Exception:
             pass
 
-    from ..assets import go1_xml
+    from ..assets import robot_xml
 
-    mj = mujoco.MjModel.from_xml_string(go1_xml(ctrl_type))
+    mj = mujoco.MjModel.from_xml_string(robot_xml(robot, ctrl_type))
     renderer = mujoco.Renderer(mj, height=height, width=width)
     return mj, renderer, False
 
@@ -200,13 +201,14 @@ class TrajectoryRenderer:
     """Replays (T, nq) qpos logs through mujoco; falls back to wireframe."""
 
     def __init__(self, ctrl_type: str = "torque", width: int = 640,
-                 height: int = 480):
+                 height: int = 480, robot: str = "go1"):
         self.width, self.height = width, height
         self.ctrl_type = ctrl_type
+        self.robot = robot
         self.backend = "none"
         try:
             self.mj, self.renderer, visual = _make_renderer(
-                ctrl_type, width, height
+                ctrl_type, width, height, robot=robot
             )
             import mujoco
 
@@ -247,13 +249,13 @@ class TrajectoryRenderer:
         """CPU fallback: 2D side-view skeleton via matplotlib-free drawing."""
         import cv2
 
-        from ..assets import go1_model
+        from ..assets import robot_model
         from ..physics.kinematics import fk
         import jax.numpy as jnp
 
         global _RENDER_MODEL
         if _RENDER_MODEL is None:
-            _RENDER_MODEL = go1_model(self.ctrl_type)
+            _RENDER_MODEL = robot_model(self.robot, self.ctrl_type)
         m = _RENDER_MODEL
         kin = fk(m, jnp.asarray(qpos), jnp.zeros(m.nv))
         xpos = np.asarray(kin.xpos)
@@ -297,11 +299,12 @@ def write_video(path, frames, fps: int = 30) -> str:
 
 def render_trajectory(
     qpos_log: np.ndarray, path, ctrl_type: str = "torque", fps: int = 30,
+    robot: str = "go1",
     width: int = 640, height: int = 480, every: int = 1,
 ) -> str:
     """qpos log (T, nq) -> MP4 at `path` (reference training_videos naming
     is handled by the runner)."""
-    r = TrajectoryRenderer(ctrl_type, width, height)
+    r = TrajectoryRenderer(ctrl_type, width, height, robot=robot)
     frames = [r.frame(np.asarray(q)) for q in qpos_log[::every]]
     r.close()
     return write_video(path, frames, fps)

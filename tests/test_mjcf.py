@@ -9,20 +9,23 @@ import mujoco
 import numpy as np
 import pytest
 
-from quadruped_tpu.assets import go1_model, go1_xml
+from quadruped_tpu.assets import go1_model, go1_xml, robot_model, robot_xml
 from quadruped_tpu.mjcf.model import ACT_MOTOR, ACT_POSITION, CONE_ELLIPTIC
 
 
-@pytest.fixture(scope="module", params=["torque", "position"])
+@pytest.fixture(
+    scope="module",
+    params=["go1-torque", "go1-position", "go2-torque", "go2-position"],
+)
 def pair(request):
-    ctrl = request.param
-    m = go1_model(ctrl)
-    mj = mujoco.MjModel.from_xml_string(go1_xml(ctrl))
-    return m, mj, ctrl
+    robot, ctrl = request.param.split("-")
+    m = robot_model(robot, ctrl)
+    mj = mujoco.MjModel.from_xml_string(robot_xml(robot, ctrl))
+    return m, mj, ctrl, robot
 
 
 def test_sizes(pair):
-    m, mj, _ = pair
+    m, mj, _ctrl, _robot = pair
     assert m.nq == mj.nq == 19
     assert m.nv == mj.nv == 18
     assert m.nu == mj.nu == 12
@@ -33,7 +36,7 @@ def test_sizes(pair):
 
 
 def test_option(pair):
-    m, mj, _ = pair
+    m, mj, _ctrl, _robot = pair
     assert m.opt.timestep == mj.opt.timestep
     assert m.opt.impratio == mj.opt.impratio == 100.0
     assert m.opt.cone == CONE_ELLIPTIC == mj.opt.cone
@@ -41,7 +44,7 @@ def test_option(pair):
 
 
 def test_bodies(pair):
-    m, mj, _ = pair
+    m, mj, _ctrl, _robot = pair
     np.testing.assert_array_equal(m.body_parentid, mj.body_parentid)
     np.testing.assert_array_equal(m.body_rootid, mj.body_rootid)
     np.testing.assert_array_equal(m.body_jntadr, mj.body_jntadr)
@@ -59,7 +62,7 @@ def test_bodies(pair):
 
 
 def test_joints_dofs(pair):
-    m, mj, _ = pair
+    m, mj, _ctrl, _robot = pair
     np.testing.assert_array_equal(m.jnt_type, mj.jnt_type)
     np.testing.assert_array_equal(m.jnt_bodyid, mj.jnt_bodyid)
     np.testing.assert_array_equal(m.jnt_qposadr, mj.jnt_qposadr)
@@ -75,7 +78,7 @@ def test_joints_dofs(pair):
 
 
 def test_geoms(pair):
-    m, mj, _ = pair
+    m, mj, _ctrl, _robot = pair
     np.testing.assert_array_equal(m.geom_type, mj.geom_type)
     np.testing.assert_array_equal(m.geom_bodyid, mj.geom_bodyid)
     np.testing.assert_allclose(m.geom_pos, mj.geom_pos, atol=1e-12)
@@ -94,13 +97,14 @@ def test_geoms(pair):
 
 
 def test_actuators(pair):
-    m, mj, ctrl = pair
+    m, mj, ctrl, robot = pair
     np.testing.assert_allclose(m.actuator_gear, mj.actuator_gear[:, 0])
     np.testing.assert_allclose(m.actuator_ctrlrange, mj.actuator_ctrlrange)
     np.testing.assert_allclose(m.actuator_forcerange, mj.actuator_forcerange)
     if ctrl == "torque":
         assert (m.actuator_kind == ACT_MOTOR).all()
-        np.testing.assert_allclose(m.actuator_gear, [23, 23, 35] * 4)
+        gears = ([23, 23, 35] if robot == "go1" else [23.7, 23.7, 45.43]) * 4
+        np.testing.assert_allclose(m.actuator_gear, gears)
     else:
         assert (m.actuator_kind == ACT_POSITION).all()
         # position gain/bias: gainprm[0]=kp, biasprm=[0,-kp,-kv]
@@ -109,13 +113,15 @@ def test_actuators(pair):
 
 
 def test_keyframe(pair):
-    m, mj, _ = pair
+    m, mj, _ctrl, robot = pair
     np.testing.assert_allclose(m.key_qpos, mj.key_qpos)
     np.testing.assert_allclose(m.key_ctrl, mj.key_ctrl)
-    # home keyframe matches the reference stand pose (go1_torque.xml:230-233)
+    # home keyframe matches the reference stand pose (go1_torque.xml:230-233;
+    # go2 stands slightly lower, tools/gen_go2_assets.py)
+    z = 0.30 if robot == "go1" else 0.29
     np.testing.assert_allclose(
         m.key_qpos[0],
-        [0, 0, 0.30, 1, 0, 0, 0] + [0, 0.9, -1.8] * 4,
+        [0, 0, z, 1, 0, 0, 0] + [0, 0.9, -1.8] * 4,
     )
 
 
