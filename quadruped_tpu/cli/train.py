@@ -83,6 +83,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "healthy walking, so at gamma=0.99 a collapsed "
                         "policy is the true optimum; every shipped "
                         "reference artifact predates those channels).")
+    p.add_argument("--eval_max_time", type=float, default=20.0,
+                   help="Simulated seconds per eval episode during "
+                        "training (reference show_duration_seconds, "
+                        "train.py:93). Set 120 to evaluate full episodes "
+                        "up to the truncation horizon.")
+    p.add_argument("--contact_pools", type=str, default=None,
+                   help="'K6,K3,K1' per-condim-class top-K solver slots "
+                        "(condim row pools), e.g. '8,28,12'. Default: "
+                        "uniform top-K (max_contacts).")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="Capture a jax.profiler trace of a few training "
                         "iterations to this directory (view with "
@@ -99,6 +108,10 @@ def make_env(args):
         extra = dict(
             rewards=RewardWeights(recovery=0.0, get_up=0.0),
             fallen_start_prob=0.0,
+        )
+    if getattr(args, "contact_pools", None):
+        extra["contact_pools"] = tuple(
+            int(x) for x in args.contact_pools.split(",")
         )
     cfg = Go1Config(
         robot=getattr(args, "robot", "go1"),
@@ -139,6 +152,7 @@ def run_train(args):
         save_videos=not args.no_videos,
         checkpoint_interval=args.checkpoint_interval,
         profile_dir=args.profile_dir,
+        eval_max_time=args.eval_max_time,
     )
     runner = Runner(env, ppo_cfg, run_cfg)
     print(

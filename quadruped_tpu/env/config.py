@@ -91,6 +91,13 @@ class Go1Config:
     # are dropped by constraint.assemble's stream compaction, and the drop
     # count is surfaced per step as info["contact_overflow"].
     max_contacts: int = 48
+    # condim row pools (K6, K3, K1): per-condim-class top-K solver slots.
+    # Foot-involved pairs are condim 6, other-vs-floor pairs condim 3,
+    # robot self pairs condim 1 (go1_torque.xml defaults), so class
+    # budgets cover the same contact capacity with ~2x fewer solver rows
+    # than uniform 6-row slots (deep-fall worst case measured 2x condim-6
+    # + 44x condim-3).  None = uniform top-K (max_contacts).
+    contact_pools: tuple | None = None
     # command-conditioned multi-gait (BASELINE.json config 5): appends a
     # gait one-hot + shared-clock sin/cos to the observation (53 dims) and
     # rewards contact patterns matching the commanded gait template

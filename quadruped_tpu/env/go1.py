@@ -91,9 +91,13 @@ class Go1Env:
         mode = cfg.collision_mode
         if cfg.biped and mode == "plane":
             mode = "full"  # self-collision costs need self pairs
+        pools = None
+        if cfg.contact_pools is not None and mode == "full":
+            pools = dict(zip((6, 3, 1), cfg.contact_pools))
         self.pipeline = Pipeline.build(
             self.m, mode,
             max_contacts=cfg.max_contacts if mode == "full" else None,
+            contact_pools=pools,
         )
 
         m = self.m

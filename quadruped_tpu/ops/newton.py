@@ -21,9 +21,10 @@ The numerics are shared with the non-pallas world through `newton_core`,
 a pure batch-last jnp function: the pallas kernel body just reads refs,
 calls it, and writes refs, so tests (tests/test_ops.py) can pin the exact
 same code against the oracle-verified single-env path without a TPU.
-Only the padded contact layout (row_con is None: ncon x 6 rows) is
-supported — the env always compiles that layout when max_contacts
-(top-K) is set.
+Two contact layouts are supported: the padded uniform layout (row_con is
+None: ncon x 6 rows) and condim row pools (pool_dims set: per-condim-class
+top-K slots emitting only condim rows each — ~2x fewer Gram rows at equal
+contact capacity on the Go1 full-collision table).
 """
 
 from __future__ import annotations
@@ -111,21 +112,52 @@ def _cho_solve(L, g, nv):
 def newton_core(
     M, qs, warm, J, aref, D, R, floss, active,
     scale, fscale, maskd, conact, Rn, mu,
-    *, nv, nf, nl, K, iterations,
+    *, nv, nf, nl, K, iterations, pool_dims=None,
 ):
     """Batch-LAST Newton solve on plain jnp arrays.
 
     Shapes: M (nv,nv,B), qs/warm (nv,B), J (ne,nv,B), row vectors (ne,B),
-    contact metadata (K,...,B).  Returns (qacc (nv,B), f (ne,B),
+    contact metadata (Ktot,...,B).  Returns (qacc (nv,B), f (ne,B),
     qfrc (nv,B)).  This function is the pallas kernel body — see module
-    docstring."""
+    docstring.
+
+    pool_dims: ((K_p, dim_p), ...) condim row pools in slot/row order —
+    each pool contributes K_p contacts x dim_p compact J rows, and only
+    pools with friction (dim_p > 1) contribute rank-1 cone rows to the
+    Hessian.  None = one uniform (K, 6) pool (the r1 layout)."""
     nfl = nf + nl
-    ne = nfl + 6 * K
-    Rn2 = Rn[:, None, :]                                # (K, 1, B)
-    mu2 = mu[:, None, :]
-    maskc = maskd * conact[:, None, :]                  # (K, 6, B)
-    Jc = J[nfl:].reshape(K, 6, nv, J.shape[-1])
+    pools = pool_dims if pool_dims is not None else ((K, 6),)
+    descs = []
+    row_off = con_off = 0
+    for Kp, dp in pools:
+        descs.append((row_off, con_off, Kp, dp))
+        row_off += Kp * dp
+        con_off += Kp
     ladder = [4.0 * 0.5**k for k in range(_N_LADDER)] + [0.0]
+
+    def cone_u(z, desc):
+        """Scaled dual point u and cone-zone flags for one pool."""
+        ro, co, Kp, dp = desc
+        zc = z[nfl + ro : nfl + ro + Kp * dp].reshape(Kp, dp, z.shape[-1])
+        Rn2 = Rn[co : co + Kp, None, :]
+        mu2 = mu[co : co + Kp, None, :]
+        mk = maskd[co : co + Kp, :dp] * conact[co : co + Kp, None, :]
+        sc = scale[co : co + Kp, :dp]
+        u = -(zc * sc * mk) / Rn2
+        u0 = u[:, 0:1, :]
+        if dp > 1:
+            ut = u[:, 1:, :]
+            tt = sum(
+                ut[:, d_ : d_ + 1, :] * ut[:, d_ : d_ + 1, :]
+                for d_ in range(dp - 1)
+            )
+        else:
+            ut = None
+            tt = jnp.zeros_like(u0)
+        t = jnp.sqrt(tt + 1e-30)
+        bottom = t <= mu2 * u0
+        top = mu2 * t <= -u0
+        return zc, Rn2, mu2, mk, sc, u0, ut, tt, t, bottom, top
 
     def S_of(z):
         """Total penalty S(z) -> (1, B).  Mirrors solver._penalty_S."""
@@ -141,24 +173,22 @@ def newton_core(
             zl, Dl = z[nf:nfl], D[nf:nfl]
             act = (active[nf:nfl] > 0) & (zl < 0)
             S = S + _s2(jnp.where(act, 0.5 * Dl * zl * zl, 0.0))
-        zc = z[nfl:].reshape(K, 6, z.shape[-1])
-        u = -(zc * scale * maskc) / Rn2
-        u0 = u[:, 0:1, :]
-        ut = u[:, 1:, :]
-        tt = sum(ut[:, d_ : d_ + 1, :] * ut[:, d_ : d_ + 1, :] for d_ in range(5))
-        t = jnp.sqrt(tt + 1e-30)
-        bottom = t <= mu2 * u0
-        top = mu2 * t <= -u0
-        usq = u0 * u0 + tt
-        al = (u0 + mu2 * t) / (1.0 + mu2 * mu2)
-        mid_d2 = usq - al * al * (1.0 + mu2 * mu2)
-        d2 = jnp.where(bottom, 0.0, jnp.where(top, usq, mid_d2))
-        s_con = 0.5 * Rn2 * (usq - d2)                  # (K, 1, B)
-        return S + _s2(s_con[:, 0, :])
+        for desc in descs:
+            _zc, Rn2, mu2, _mk, _sc, u0, _ut, tt, t, bottom, top = cone_u(
+                z, desc
+            )
+            usq = u0 * u0 + tt
+            al = (u0 + mu2 * t) / (1.0 + mu2 * mu2)
+            mid_d2 = usq - al * al * (1.0 + mu2 * mu2)
+            d2 = jnp.where(bottom, 0.0, jnp.where(top, usq, mid_d2))
+            s_con = 0.5 * Rn2 * (usq - d2)              # (Kp, 1, B)
+            S = S + _s2(s_con[:, 0, :])
+        return S
 
     def penalty_fw(z):
         """Forces f(z), weights w(z), rank-1 cone rows + weights."""
         f_parts, w_parts = [], []
+        U_rows, wU_rows = [], []
         if nf:
             zf, Df, fl = z[:nf], D[:nf], floss[:nf]
             f_unc = -Df * zf
@@ -170,42 +200,53 @@ def newton_core(
             act = (active[nf:nfl] > 0) & (zl < 0)
             f_parts.append(jnp.where(act, -Dl * zl, 0.0))
             w_parts.append(jnp.where(act, Dl, 0.0))
-        zc = z[nfl:].reshape(K, 6, z.shape[-1])
-        u = -(zc * scale * maskc) / Rn2
-        u0 = u[:, 0:1, :]
-        ut = u[:, 1:, :]
-        tt = sum(ut[:, d_ : d_ + 1, :] * ut[:, d_ : d_ + 1, :] for d_ in range(5))
-        t = jnp.sqrt(tt + 1e-30)
-        bottom = t <= mu2 * u0
-        top = mu2 * t <= -u0
-        middle = ~(bottom | top)
-        al = (u0 + mu2 * t) / (1.0 + mu2 * mu2)
-        phi0 = jnp.where(bottom, u0, jnp.where(top, 0.0, al))
-        tdir = ut / t
-        phit = jnp.where(bottom, ut, jnp.where(top, 0.0, mu2 * al * tdir))
-        phi = jnp.concatenate([phi0, phit], axis=1)
-        f_parts.append((phi * fscale * maskc).reshape(6 * K, -1))
+        for desc in descs:
+            ro, co, Kp, dp = desc
+            _zc, Rn2, mu2, mk, sc, u0, ut, tt, t, bottom, top = cone_u(
+                z, desc
+            )
+            middle = ~(bottom | top)
+            al = (u0 + mu2 * t) / (1.0 + mu2 * mu2)
+            phi0 = jnp.where(bottom, u0, jnp.where(top, 0.0, al))
+            mid_c = mu2 * al / t                        # (Kp, 1, B)
+            diag_c = jnp.where(bottom, 1.0, jnp.where(top, 0.0, mid_c))
+            fsc = fscale[co : co + Kp, :dp]
+            cac = conact[co : co + Kp, None, :]
+            if dp > 1:
+                tdir = ut / t
+                phit = jnp.where(
+                    bottom, ut, jnp.where(top, 0.0, mu2 * al * tdir)
+                )
+                phi = jnp.concatenate([phi0, phit], axis=1)
+            else:
+                phi = phi0
+            f_parts.append((phi * fsc * mk).reshape(Kp * dp, -1))
+            w_con = (diag_c * cac / Rn2) * sc * sc * mk
+            w_parts.append(w_con.reshape(Kp * dp, -1))
 
-        mid_c = mu2 * al / t                            # (K, 1, B)
-        diag_c = jnp.where(bottom, 1.0, jnp.where(top, 0.0, mid_c))
-        w_con = (diag_c * conact[:, None, :] / Rn2) * scale * scale * maskc
-        w_parts.append(w_con.reshape(6 * K, -1))
-
-        # rank-1 cone rows: U_e0 = (S e0)^T Jc, U_n = (S nhat)^T Jc,
-        # U_v = U_e0 + mu U_n ; weights per solver._penalty docstring
-        Sm = scale * maskc
-        U_e0 = Sm[:, 0:1, :] * Jc[:, 0, :, :]           # (K, nv, B)
-        U_n = (Sm[:, 1, :] * tdir[:, 0, :])[:, None, :] * Jc[:, 1, :, :]
-        for d_ in range(2, 6):
-            U_n = U_n + (Sm[:, d_, :] * tdir[:, d_ - 1, :])[:, None, :] \
-                * Jc[:, d_, :, :]
-        U_v = U_e0 + mu2 * U_n
-        is_mid = jnp.where(middle, 1.0, 0.0) * conact[:, None, :]
-        wV0 = (is_mid / ((1.0 + mu2 * mu2) * Rn2))[:, 0, :]   # (K, B)
-        wVn = (-is_mid * mid_c / Rn2)[:, 0, :]
+            if dp > 1:
+                # rank-1 cone rows: U_e0 = (S e0)^T Jc, U_n = (S nhat)^T Jc,
+                # U_v = U_e0 + mu U_n ; weights per solver._penalty docstring
+                Jc = J[nfl + ro : nfl + ro + Kp * dp].reshape(
+                    Kp, dp, nv, J.shape[-1]
+                )
+                Sm = sc * mk
+                U_e0 = Sm[:, 0:1, :] * Jc[:, 0, :, :]   # (Kp, nv, B)
+                U_n = (Sm[:, 1, :] * tdir[:, 0, :])[:, None, :] \
+                    * Jc[:, 1, :, :]
+                for d_ in range(2, dp):
+                    U_n = U_n + (Sm[:, d_, :] * tdir[:, d_ - 1, :])[
+                        :, None, :
+                    ] * Jc[:, d_, :, :]
+                U_v = U_e0 + mu2 * U_n
+                is_mid = jnp.where(middle, 1.0, 0.0) * cac
+                wV0 = (is_mid / ((1.0 + mu2 * mu2) * Rn2))[:, 0, :]  # (Kp,B)
+                wVn = (-is_mid * mid_c / Rn2)[:, 0, :]
+                U_rows += [U_v, U_e0, U_n]
+                wU_rows += [wV0, wVn, wVn]
         f = jnp.concatenate(f_parts, axis=0)
         w = jnp.concatenate(w_parts, axis=0)
-        return f, w, (U_v, U_e0, U_n), (wV0, wVn)
+        return f, w, U_rows, wU_rows
 
     eye3 = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 0)
@@ -215,15 +256,15 @@ def newton_core(
 
     def newton_iter(_, a):
         z = _matvec(J, a) - aref
-        f, w, (U_v, U_e0, U_n), (wV0, wVn) = penalty_fw(z)
+        f, w, U_rows, wU_rows = penalty_fw(z)
         Mda = _matvec(M, a - qs)
         grad = Mda - _rmatvec(J, f)
 
-        # H = M + Gram over [all J rows | 3 rank-1 cone rows per contact].
-        # Two sweeps (J-part, rank-1-part) with no concatenated/weighted
-        # row copies: VMEM in the kernel is tight (J alone is ~2 MB/block)
-        Us = jnp.concatenate([U_v, U_e0, U_n], axis=0)   # (3K, nv, B)
-        wU = jnp.concatenate([wV0, wVn, wVn], axis=0)    # (3K, B)
+        # H = M + Gram over [all J rows | 3 rank-1 cone rows per friction
+        # contact].  Two sweeps (J-part, rank-1-part) with no concatenated/
+        # weighted row copies: VMEM in the kernel is tight (J is ~MB/block)
+        Us = jnp.concatenate(U_rows, axis=0)   # (3*K_fric, nv, B)
+        wU = jnp.concatenate(wU_rows, axis=0)  # (3*K_fric, B)
         cols = [[None] * nv for _ in range(nv)]
         for i in range(nv):
             Ji_w = J[:, i, :] * w
@@ -306,11 +347,11 @@ def newton_core(
 
     a = jax.lax.fori_loop(0, iterations, newton_iter, warm)
     z = _matvec(J, a) - aref
-    f, _w, _U, _wV = penalty_fw(z)
+    f, _w, _U, _wU = penalty_fw(z)
     return a, f, _rmatvec(J, f)
 
 
-def _make_kernel(nv, nf, nl, K, iterations):
+def _make_kernel(nv, nf, nl, K, iterations, pool_dims=None):
     def kernel(
         M_ref, qs_ref, warm_ref, J_ref, aref_ref, D_ref, R_ref, floss_ref,
         active_ref, scale_ref, fscale_ref, maskd_ref, conact_ref, Rn_ref,
@@ -321,6 +362,7 @@ def _make_kernel(nv, nf, nl, K, iterations):
             D_ref[:], R_ref[:], floss_ref[:], active_ref[:], scale_ref[:],
             fscale_ref[:], maskd_ref[:], conact_ref[:], Rn_ref[:],
             mu_ref[:], nv=nv, nf=nf, nl=nl, K=K, iterations=iterations,
+            pool_dims=pool_dims,
         )
         qacc_ref[:] = qacc
         f_ref[:] = f
@@ -330,19 +372,29 @@ def _make_kernel(nv, nf, nl, K, iterations):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nv", "nf", "nl", "K", "iterations", "interpret")
+    jax.jit,
+    static_argnames=(
+        "nv", "nf", "nl", "K", "iterations", "interpret", "pool_dims"
+    ),
 )
 def newton_solve_batched(
     M, qacc_smooth, warmstart, J, aref, D, R, floss, active,
     con_scale, con_fscale, con_dim_mask, con_active, con_Rn, con_mu,
-    *, nv, nf, nl, K, iterations, interpret=False,
+    *, nv, nf, nl, K, iterations, interpret=False, pool_dims=None,
 ):
     """Batched Newton solve.  All array args are batch-FIRST (B, ...) and
     float32; returns (qacc (B,nv), f (B,ne), qfrc (B,nv)).
 
+    With pool_dims (((K_p, dim_p), ...)), J carries the compact pooled
+    contact rows (sum K_p*dim_p) and contact metadata is (sum K_p, ...).
+
     B is padded to a multiple of BLK=128 internally (edge padding so the
     padded lanes factor cleanly and cannot produce Inf/NaN spills)."""
-    ne = nf + nl + 6 * K
+    if pool_dims is not None:
+        ne = nf + nl + sum(Kp * dp for Kp, dp in pool_dims)
+        K = sum(Kp for Kp, _dp in pool_dims)
+    else:
+        ne = nf + nl + 6 * K
     B = qacc_smooth.shape[0]
     Bp = -(-B // BLK) * BLK
 
@@ -361,7 +413,7 @@ def newton_solve_batched(
         prep(con_active.astype(jnp.float32)), prep(con_Rn), prep(con_mu),
     ]
 
-    kernel = _make_kernel(nv, nf, nl, K, iterations)
+    kernel = _make_kernel(nv, nf, nl, K, iterations, pool_dims=pool_dims)
     grid = (Bp // BLK,)
 
     def spec(*lead):

@@ -106,10 +106,17 @@ class EfcLayout:
     con_diagapprox: np.ndarray     # (ncon,)  invweight sum for normal rows
 
     max_contacts: int | None = None  # top-K solver slots (None = all)
+    # condim row pools (PLAN lever 1): ((condim, cand_indices, K), ...)
+    # ordered by descending condim.  Each class compacts its own actives
+    # into K class slots emitting only `condim` J rows per slot — vs the
+    # uniform top-K path's 6 rows per slot, ~2x fewer Gram rows at equal
+    # contact capacity on the Go1 full-collision table
+    pools: tuple | None = None
 
 
 def build_layout(
-    m: PhysicsModel, table: CollisionTable, max_contacts: int | None = None
+    m: PhysicsModel, table: CollisionTable, max_contacts: int | None = None,
+    contact_pools: dict | None = None,
 ) -> EfcLayout:
     dof_invw, body_invw = invweights(m)
     friction_dofs = np.where(m.dof_frictionloss > 0)[0].astype(np.int32)
@@ -119,6 +126,15 @@ def build_layout(
     b1 = table.cand_meta("body1")
     b2 = table.cand_meta("body2")
     ncon = table.ncand
+    pools = None
+    if contact_pools is not None:
+        cd_all = np.asarray(table.cand_meta("condim"))
+        pools = []
+        for cdim in sorted(set(int(c) for c in cd_all), reverse=True):
+            idx = np.where(cd_all == cdim)[0].astype(np.int32)
+            budget = int(contact_pools.get(cdim, len(idx)))
+            pools.append((cdim, idx, min(budget, len(idx))))
+        pools = tuple(pools)
     return EfcLayout(
         friction_dofs=friction_dofs,
         limit_joints=limit_joints,
@@ -134,6 +150,7 @@ def build_layout(
         con_includemargin=table.cand_meta("includemargin"),
         con_diagapprox=body_invw[b1, 0] + body_invw[b2, 0],
         max_contacts=max_contacts,
+        pools=pools,
     )
 
 
@@ -163,6 +180,8 @@ class Efc:
     # dimension row_dim[r] of contact row_con[r]; None = padded ncon*6 rows
     row_con: tuple | None
     row_dim: tuple | None
+    # condim pools (static): ((K_c, condim_c), ...) in slot order, or None
+    pool_dims: tuple | None
     nf: int
     nl: int
 
@@ -174,7 +193,7 @@ jax.tree_util.register_dataclass(
         "con_pos", "con_frame", "con_mu_tilde", "con_scale", "con_fscale",
         "con_dim_mask", "con_sel", "con_Rn", "con_overflow",
     ],
-    meta_fields=["row_con", "row_dim", "nf", "nl"],
+    meta_fields=["row_con", "row_dim", "pool_dims", "nf", "nl"],
 )
 
 
@@ -271,7 +290,73 @@ def assemble(
     # cutting the dominant J^T W J cost ~4-10x with static shapes intact.
     dist_all, pos_all, frame_all = narrowphase(m, table, kin, terrain=terrain)
     K = layout.max_contacts
-    if K is not None and K < layout.ncon:
+    static_cd = None     # static per-slot condim => compact J rows
+    pool_dims = None
+    if layout.pools is not None:
+        # ---- condim row pools: class-wise stream compaction --------------
+        # each condim class compacts its actives into its own K_c slots;
+        # slot condim is then STATIC, so the contact block emits only
+        # condim_c rows per slot (row_con/row_dim) instead of uniform 6
+        incm_all = jnp.asarray(layout.con_includemargin, dtype)
+        act_all = dist_all < incm_all
+        data = jnp.concatenate(
+            [dist_all[:, None], pos_all, frame_all.reshape(-1, 9)], axis=1
+        )
+        const = jnp.asarray(
+            np.concatenate(
+                [
+                    np.asarray(layout.con_margin, np.float64)[:, None],
+                    np.asarray(layout.con_solref, np.float64),
+                    np.asarray(layout.con_solimp, np.float64),
+                    np.asarray(layout.con_friction, np.float64),
+                    np.asarray(layout.con_diagapprox, np.float64)[:, None],
+                    np.asarray(layout.con_body1, np.float64)[:, None],
+                    np.asarray(layout.con_body2, np.float64)[:, None],
+                    np.asarray(layout.con_includemargin, np.float64)[:, None],
+                ],
+                axis=1,
+            ),
+            dtype,
+        )
+        dsel_l, csel_l, sel_l, valid_l, cd_l = [], [], [], [], []
+        overflow = jnp.zeros((), jnp.int32)
+        for cdim, idx, Kc in layout.pools:
+            if Kc == 0:
+                continue
+            idxj = jnp.asarray(idx)
+            act_c = act_all[idxj]
+            cs = jnp.cumsum(act_c.astype(jnp.int32))
+            ks = jnp.arange(Kc, dtype=jnp.int32)
+            sel_local = jnp.sum(
+                (cs[None, :] <= ks[:, None]).astype(jnp.int32), axis=1
+            )
+            sel_local = jnp.minimum(sel_local, len(idx) - 1)
+            sel_c = idxj[sel_local]
+            valid_l.append(jnp.arange(Kc) < cs[-1])
+            overflow = overflow + jnp.maximum(cs[-1] - Kc, 0)
+            dsel_l.append(data[sel_c])
+            csel_l.append(const[sel_c])
+            sel_l.append(sel_c)
+            cd_l.append(np.full(Kc, cdim, np.int64))
+        dsel = jnp.concatenate(dsel_l)
+        csel = jnp.concatenate(csel_l)
+        sel = jnp.concatenate(sel_l)
+        slot_valid = jnp.concatenate(valid_l)
+        static_cd = np.concatenate(cd_l)
+        pool_dims = tuple(
+            (Kc, cdim) for cdim, _i, Kc in layout.pools if Kc
+        )
+        K = int(static_cd.shape[0])
+        dist, pos = dsel[:, 0], dsel[:, 1:4]
+        frame = dsel[:, 4:13].reshape(-1, 3, 3)
+        dist = jnp.where(slot_valid, dist, 1e9)
+        margin, solref, solimp = csel[:, 0], csel[:, 1:3], csel[:, 3:8]
+        mu, diagapprox = csel[:, 8:13], csel[:, 13]
+        body1 = csel[:, 14].astype(jnp.int32)
+        body2 = csel[:, 15].astype(jnp.int32)
+        condim = jnp.asarray(static_cd)
+        includemargin = csel[:, 16]
+    elif K is not None and K < layout.ncon:
         # stream-compact the active candidates into K solver slots with a
         # cumsum + searchsorted (scatter-free; a full top_k sort is ~4x
         # slower on TPU and dynamic scatters lower to sort-based kernels);
@@ -397,10 +482,13 @@ def assemble(
     ).astype(dtype)
     fscale = scale
 
-    if sel is None:
-        # static candidate set: emit only condim_c rows per contact (compact
-        # row map) — nearly halves every J-sized matmul in the solver
-        cd = np.asarray(layout.con_condim)
+    if sel is None or static_cd is not None:
+        # static per-slot condim: emit only condim_c rows per contact
+        # (compact row map) — nearly halves every J-sized matmul in the
+        # solver; with condim pools this also applies to the top-K path
+        cd = np.asarray(
+            layout.con_condim if static_cd is None else static_cd
+        )
         row_con = tuple(int(c) for c in range(ncon) for _ in range(cd[c]))
         row_dim = tuple(int(i) for c in range(ncon) for i in range(cd[c]))
         rc = np.asarray(row_con)
@@ -439,6 +527,72 @@ def assemble(
         con_overflow=overflow.astype(jnp.int32),
         row_con=row_con,
         row_dim=row_dim,
+        pool_dims=pool_dims,
         nf=nf,
         nl=nl,
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch-LAST assemble dispatch
+# ---------------------------------------------------------------------------
+
+import os as _os
+import weakref as _weakref
+
+_ASM_CORE: "_weakref.WeakKeyDictionary[EfcLayout, object]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def assemble_dispatch(m: PhysicsModel, layout: EfcLayout,
+                      table: CollisionTable):
+    """custom_vmap assemble: single-env calls run `assemble` unchanged
+    (oracle-exact); under vmap the batch rule re-executes the SAME code
+    with the env batch on the TRAILING axis (vmap in_axes=-1), so the
+    narrowphase geometry math, packed gathers, and J-row einsums all carry
+    the batch on the TPU 128-lane minor dimension instead of leaving 3/6/9-
+    wide trailing dims padded to full tiles (the dispatch pattern that
+    measured 2.1x on cfrc_ext, PLAN.md).  Disable with QTPU_ASM_BLAST=0
+    for A/B."""
+    if layout in _ASM_CORE:
+        return _ASM_CORE[layout]
+
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def core(kin, qpos, qvel, terrain):
+        return assemble(m, layout, table, kin, qpos, qvel,
+                        terrain=terrain if terrain else None)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, kin, qpos, qvel, terrain):
+        args = (kin, qpos, qvel, terrain)
+        flat, treedef = jax.tree.flatten(args)
+        flat_b = jax.tree.leaves(in_batched)
+        flat = [
+            x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            for x, b in zip(flat, flat_b)
+        ]
+        args = jax.tree.unflatten(treedef, flat)
+        args = jax.tree.map(lambda x: jnp.moveaxis(x, 0, -1), args)
+        out = jax.vmap(
+            lambda k, q, v, t: assemble(
+                m, layout, table, k, q, v, terrain=t if t else None
+            ),
+            in_axes=-1, out_axes=-1,
+        )(*args)
+        out_batched = jax.tree.map(lambda _: True, out)
+        return jax.tree.map(lambda x: jnp.moveaxis(x, -1, 0), out), out_batched
+
+    _ASM_CORE[layout] = core
+    return core
+
+
+def assemble_auto(m, layout, table, kin, qpos, qvel, terrain=None):
+    """assemble with the batch-last vmap rule unless disabled by env."""
+    if _os.environ.get("QTPU_ASM_BLAST", "1") == "0":
+        return assemble(m, layout, table, kin, qpos, qvel, terrain=terrain)
+    return assemble_dispatch(m, layout, table)(
+        kin, qpos, qvel, terrain if terrain is not None else {}
     )

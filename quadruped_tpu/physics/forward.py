@@ -25,10 +25,10 @@ import numpy as np
 
 from ..mjcf.model import JNT_FREE, JNT_HINGE, PhysicsModel
 from .collision import CollisionTable, build_table
-from .constraint import EfcLayout, assemble, build_layout
-from .kinematics import Kin, fk
+from .constraint import EfcLayout, assemble, assemble_auto, build_layout
+from .kinematics import Kin, fk_auto
 from .math import chol_factor, chol_solve, quat_integrate
-from .smooth import smooth_dynamics
+from .smooth import smooth_dynamics_auto
 from .solver import solve
 
 
@@ -47,12 +47,15 @@ class Pipeline:
     @staticmethod
     def build(
         m: PhysicsModel, mode: str = "plane", max_contacts: int | None = None,
+        contact_pools: dict | None = None,
     ) -> "Pipeline":
         table = build_table(m, mode)
         if max_contacts is not None and max_contacts >= table.ncand:
             max_contacts = None
+            contact_pools = None
         return Pipeline(
-            m=m, table=table, layout=build_layout(m, table, max_contacts)
+            m=m, table=table,
+            layout=build_layout(m, table, max_contacts, contact_pools),
         )
 
 
@@ -94,8 +97,8 @@ def forward(
     """
     with jax.default_matmul_precision("highest"):
         m = pl.m
-        kin = fk(m, qpos, qvel)
-        M, L, qfrc_smooth, qacc_smooth, qfrc_act = smooth_dynamics(
+        kin = fk_auto(m, qpos, qvel)
+        M, L, qfrc_smooth, qacc_smooth, qfrc_act = smooth_dynamics_auto(
             m, params, kin, qpos, qvel, ctrl
         )
         # rough-terrain heightfield (physics/terrain.py): present in params
@@ -106,8 +109,8 @@ def forward(
                                     "terrain_phase")}
             if "terrain_amp" in params else None
         )
-        efc = assemble(m, pl.layout, pl.table, kin, qpos, qvel,
-                       terrain=terrain)
+        efc = assemble_auto(m, pl.layout, pl.table, kin, qpos, qvel,
+                            terrain=terrain)
         qacc, qfrc_constraint, con_force = solve(
             m, M, qacc_smooth, efc, warmstart=warmstart
         )

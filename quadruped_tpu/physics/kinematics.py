@@ -276,3 +276,55 @@ def ancestor_dof_pair_mask(m: PhysicsModel) -> np.ndarray:
     # ancestor dof always has the lower index; same-joint pairs would
     # otherwise be double-counted by the W + W^T symmetrization in crba)
     return np.triu(out)
+
+
+# ---------------------------------------------------------------------------
+# batch-LAST fk dispatch (same pattern as smooth._smooth_dispatch)
+# ---------------------------------------------------------------------------
+
+import os as _os
+import weakref as _weakref
+
+# WeakKeyDictionary on the live model, not id(m) (ADVICE r1: id reuse
+# after GC would serve a stale closure)
+_FK_CORE: "_weakref.WeakKeyDictionary[PhysicsModel, object]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _fk_dispatch(m: PhysicsModel):
+    if m in _FK_CORE:
+        return _FK_CORE[m]
+
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def core(qpos, qvel):
+        return fk(m, qpos, qvel)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, qpos, qvel):
+        flat, treedef = jax.tree.flatten((qpos, qvel))
+        flat_b = jax.tree.leaves(in_batched)
+        flat = [
+            x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            for x, b in zip(flat, flat_b)
+        ]
+        args = jax.tree.unflatten(treedef, flat)
+        args = jax.tree.map(lambda x: jnp.moveaxis(x, 0, -1), args)
+        out = jax.vmap(lambda q, v: fk(m, q, v), in_axes=-1, out_axes=-1)(
+            *args
+        )
+        out_batched = jax.tree.map(lambda _: True, out)
+        return jax.tree.map(lambda x: jnp.moveaxis(x, -1, 0), out), out_batched
+
+    _FK_CORE[m] = core
+    return core
+
+
+def fk_auto(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array) -> Kin:
+    """fk with the env batch on the TPU lane axis under vmap (body frames
+    carry 3/4-wide trailing dims otherwise).  QTPU_FK_BLAST=0 disables."""
+    if _os.environ.get("QTPU_FK_BLAST", "1") == "0":
+        return fk(m, qpos, qvel)
+    return _fk_dispatch(m)(qpos, qvel)

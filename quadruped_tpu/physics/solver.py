@@ -298,7 +298,7 @@ def _solver_core(m: PhysicsModel, iters: int):
             # vmap fallback instead.
             cpu_ok = os.environ.get("QTPU_KERNEL_ON_CPU") == "1"
             use_kernel = (
-                efc_.row_con is None
+                (efc_.row_con is None or efc_.pool_dims is not None)
                 and ncon > 0
                 and qs_.dtype == jnp.float32
                 and (jax.default_backend() != "cpu" or cpu_ok)
@@ -315,9 +315,11 @@ def _solver_core(m: PhysicsModel, iters: int):
                     nv=nv, nf=efc_.nf, nl=efc_.nl, K=ncon,
                     iterations=iters,
                     interpret=jax.default_backend() == "cpu",
+                    pool_dims=efc_.pool_dims,
                 )
                 nfl = efc_.nf + efc_.nl
-                con_force = f[:, nfl:].reshape(f.shape[0], ncon, 6)
+                # compact contact rows -> padded (B, ncon, 6) force view
+                con_force = _expand_rows(efc_, f[:, nfl:], ncon)
                 out = (qacc, qfrc, con_force)
             else:
                 out = jax.vmap(

@@ -47,9 +47,12 @@ def _kernel_on_cpu():
     _solver._CORE_CACHE.clear()
 
 
-@pytest.fixture(scope="module")
-def env():
-    return Go1Env(Go1Config(ctrl_type="torque"))
+@pytest.fixture(scope="module", params=["uniform", "pooled"])
+def env(request):
+    # pooled = condim row pools (per-class top-K, compact rows); the kernel
+    # supports both layouts and both must match the single-env path
+    pools = (8, 28, 12) if request.param == "pooled" else None
+    return Go1Env(Go1Config(ctrl_type="torque", contact_pools=pools))
 
 
 def _batch_inputs(env, B=3):
