@@ -44,9 +44,15 @@ def build():
     # iterations to tolerance on this model; oracle-parity tests pin the
     # near-exact 15-iteration profile explicitly.
     it = os.environ.get("QTPU_SOLVER_ITERS", "8")
+    # QTPU_POOLS="8,28,12" enables condim row pools for on-chip A/B
+    # (off by default until measured on real TPU hardware)
+    pools = os.environ.get("QTPU_POOLS")
     env = Go1Env(Go1Config(
         ctrl_type="torque",
         solver_iterations=int(it) if it else None,
+        contact_pools=(
+            tuple(int(x) for x in pools.split(",")) if pools else None
+        ),
     ))
     policy = Policy.make(act_dim=env.nu)
     variables = policy.init(jax.random.PRNGKey(0))

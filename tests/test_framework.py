@@ -110,6 +110,7 @@ def test_wireframe_video(tmp_path):
     m = go1_model("torque")
     r = TrajectoryRenderer.__new__(TrajectoryRenderer)
     r.width, r.height, r.ctrl_type, r.backend = 160, 120, "torque", "wireframe"
+    r.robot = "go1"
     frames = [r.frame(m.key_qpos[0]) for _ in range(5)]
     out = write_video(tmp_path / "t.mp4", frames, fps=10)
     assert Path(out).stat().st_size > 500
