@@ -12,6 +12,7 @@ ThreadingHTTPServer — zero-dependency, same endpoints:
     GET /training_progress.png                        (81-92)
     GET /api/videos           JSON list               (95-100)
     GET /stream/<filename>    Range-aware MP4 stream  (186-205)
+    GET /thumb/<filename>     first-frame JPEG thumbnail (beyond reference)
 
 The server is filesystem-coupled to the training artifacts
 (training_videos/*.mp4, training_progress.png) exactly like the reference,
@@ -36,7 +37,9 @@ INDEX_HTML = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>Training Monitor</title>
 <style>
  body {{ font-family: sans-serif; margin: 2em; background:#111; color:#eee; }}
- a {{ color: #8cf; }} li {{ margin: 0.3em 0; }}
+ a {{ color: #8cf; }} li {{ margin: 0.3em 0; list-style: none; }}
+ li img {{ vertical-align: middle; margin-right: 0.6em; border-radius: 4px;
+           background:#000; }}
  video {{ max-width: 90%; margin-top: 1em; background:#000; }}
 </style></head>
 <body>
@@ -116,6 +119,8 @@ class MonitorHandler(BaseHTTPRequestHandler):
         if path in ("/", "/main"):
             items = "\n".join(
                 f'<li><a href="#" data-src="/stream/{v["name"]}">'
+                f'<img src="/thumb/{v["name"]}" loading="lazy" '
+                f'alt="" width="96"/>'
                 f'{v["name"]}</a> ({v["size"]//1024} KB)</li>'
                 for v in list_videos(base)
             ) or "<li>(no videos yet)</li>"
@@ -136,8 +141,52 @@ class MonitorHandler(BaseHTTPRequestHandler):
             )
         elif path.startswith("/stream/"):
             self._stream(path[len("/stream/"):])
+        elif path.startswith("/thumb/"):
+            self._thumb(path[len("/thumb/"):])
         else:
             self._send(HTTPStatus.NOT_FOUND, b"not found", "text/plain")
+
+    _THUMBS: dict = {}
+
+    def _thumb(self, filename: str):
+        """First-frame JPEG thumbnail of a video (cached by mtime)."""
+        name = os.path.basename(filename)
+        f = self.base / "training_videos" / name
+        if not f.is_file():
+            self._send(HTTPStatus.NOT_FOUND, b"no such video", "text/plain")
+            return
+        key = (str(f), f.stat().st_mtime_ns)
+        jpg = MonitorHandler._THUMBS.get(key)
+        if jpg is None:
+            try:
+                import cv2
+
+                cap = cv2.VideoCapture(str(f))
+                ok, frame = cap.read()
+                cap.release()
+                if not ok:
+                    raise ValueError("unreadable video")
+                h, w = frame.shape[:2]
+                tw = 192
+                frame = cv2.resize(frame, (tw, max(1, h * tw // w)))
+                ok, buf = cv2.imencode(".jpg", frame,
+                                       [cv2.IMWRITE_JPEG_QUALITY, 70])
+                if not ok:
+                    raise ValueError("encode failed")
+                jpg = buf.tobytes()
+            except Exception:
+                self._send(HTTPStatus.NOT_FOUND, b"no thumbnail",
+                           "text/plain")
+                return
+            # evict stale mtimes of this file, bound total entries
+            for k in [k for k in MonitorHandler._THUMBS if k[0] == str(f)]:
+                del MonitorHandler._THUMBS[k]
+            while len(MonitorHandler._THUMBS) >= 64:
+                del MonitorHandler._THUMBS[
+                    next(iter(MonitorHandler._THUMBS))
+                ]
+            MonitorHandler._THUMBS[key] = jpg
+        self._send(HTTPStatus.OK, jpg, "image/jpeg")
 
     def _stream(self, filename: str):
         # prevent path traversal

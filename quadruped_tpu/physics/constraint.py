@@ -553,8 +553,8 @@ def assemble_dispatch(m: PhysicsModel, layout: EfcLayout,
     narrowphase geometry math, packed gathers, and J-row einsums all carry
     the batch on the TPU 128-lane minor dimension instead of leaving 3/6/9-
     wide trailing dims padded to full tiles (the dispatch pattern that
-    measured 2.1x on cfrc_ext, PLAN.md).  Disable with QTPU_ASM_BLAST=0
-    for A/B."""
+    measured 2.1x on cfrc_ext, PLAN.md).  QTPU_ASM_BLAST: 1 on, 0 off; default on for TPU/GPU,
+    off on CPU (no lanes to win, much slower compiles)."""
     if layout in _ASM_CORE:
         return _ASM_CORE[layout]
 
@@ -591,7 +591,8 @@ def assemble_dispatch(m: PhysicsModel, layout: EfcLayout,
 
 def assemble_auto(m, layout, table, kin, qpos, qvel, terrain=None):
     """assemble with the batch-last vmap rule unless disabled by env."""
-    if _os.environ.get("QTPU_ASM_BLAST", "1") == "0":
+    v = _os.environ.get("QTPU_ASM_BLAST")
+    if v == "0" or (v is None and jax.default_backend() == "cpu"):
         return assemble(m, layout, table, kin, qpos, qvel, terrain=terrain)
     return assemble_dispatch(m, layout, table)(
         kin, qpos, qvel, terrain if terrain is not None else {}

@@ -324,7 +324,8 @@ def _fk_dispatch(m: PhysicsModel):
 
 def fk_auto(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array) -> Kin:
     """fk with the env batch on the TPU lane axis under vmap (body frames
-    carry 3/4-wide trailing dims otherwise).  QTPU_FK_BLAST=0 disables."""
-    if _os.environ.get("QTPU_FK_BLAST", "1") == "0":
+    carry 3/4-wide trailing dims otherwise).  QTPU_FK_BLAST: 1 forces on, 0 off; default = on for TPU/GPU, off on CPU (the trailing-axis vmap inflates CPU compile times with no lane benefit)."""
+    v = _os.environ.get("QTPU_FK_BLAST")
+    if v == "0" or (v is None and jax.default_backend() == "cpu"):
         return fk(m, qpos, qvel)
     return _fk_dispatch(m)(qpos, qvel)

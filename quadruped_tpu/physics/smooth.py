@@ -186,8 +186,9 @@ def _smooth_dispatch(m: PhysicsModel):
 
 def smooth_dynamics_auto(m, params, kin, qpos, qvel, ctrl):
     """smooth_dynamics with the env batch on the TPU lane axis under vmap
-    (CRBA/RNEA/actuation carry tiny trailing dims otherwise).  Disable
-    with QTPU_SMOOTH_BLAST=0 for A/B."""
-    if _os.environ.get("QTPU_SMOOTH_BLAST", "1") == "0":
+    (CRBA/RNEA/actuation carry tiny trailing dims otherwise).  QTPU_SMOOTH_BLAST: 1 forces on, 0 off; default = on
+    for TPU/GPU, off on CPU (no lanes to win, much slower compiles)."""
+    v = _os.environ.get("QTPU_SMOOTH_BLAST")
+    if v == "0" or (v is None and jax.default_backend() == "cpu"):
         return smooth_dynamics(m, params, kin, qpos, qvel, ctrl)
     return _smooth_dispatch(m)(params, kin, qpos, qvel, ctrl)

@@ -48,6 +48,37 @@ def test_monitor_api_videos(server):
     assert vids[0]["size"] == 1024
 
 
+def test_monitor_thumbnail(server):
+    """/thumb/<name> returns a JPEG first frame for a real MP4 and 404 for
+    an unreadable one."""
+    import cv2
+    import numpy as np
+    import urllib.error
+
+    url, base = server
+    # a real 2-frame video the thumbnailer can decode
+    w = cv2.VideoWriter(
+        str(base / "training_videos" / "real.mp4"),
+        cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48),
+    )
+    for _ in range(2):
+        w.write(np.full((48, 64, 3), 128, np.uint8))
+    w.release()
+    status, headers, body = _get(f"{url}/thumb/real.mp4")
+    assert status == 200
+    assert headers["Content-Type"] == "image/jpeg"
+    assert body[:2] == b"\xff\xd8"  # JPEG SOI
+    # the fake byte-blob video is unreadable -> 404, not a crash
+    try:
+        status, _h, _b = _get(f"{url}/thumb/a.mp4")
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 404
+    # index page references thumbnails
+    _s, _h, page = _get(f"{url}/")
+    assert b"/thumb/real.mp4" in page
+
+
 def test_monitor_progress_image(server):
     url, _ = server
     status, headers, body = _get(url + "/training_progress.png")
