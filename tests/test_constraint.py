@@ -213,3 +213,37 @@ def test_joint_limit_rows(setup):
     np.testing.assert_allclose(
         np.asarray(data.qacc) / scale, d.qacc / scale, atol=1e-6
     )
+
+
+def test_pooled_overflow_detection(setup):
+    """Condim pools: actives beyond a class budget are counted in
+    con_overflow (silent contact softening must be observable — ADVICE
+    r1), and within-budget states report zero."""
+    m, _pl, _mj = setup
+    mfull = go1_model("torque")
+    # tiny condim-3 budget: a fallen trunk state activates many
+    # non-foot-vs-floor (condim-3) candidates
+    pl_tiny = Pipeline.build(
+        mfull, "full", max_contacts=48,
+        contact_pools={6: 8, 3: 2, 1: 12},
+    )
+    pl_ok = Pipeline.build(
+        mfull, "full", max_contacts=48,
+        contact_pools={6: 8, 3: 28, 1: 12},
+    )
+    qpos = np.asarray(mfull.key_qpos[0], np.float64).copy()
+    qpos[2] = 0.12
+    qpos[3:7] = [0.735, 0.678, 0, 0]
+    qpos[3:7] /= np.linalg.norm(qpos[3:7])
+    q = jnp.asarray(qpos, jnp.float32)
+    v = jnp.zeros(mfull.nv, jnp.float32)
+    kin = kinematics.fk(mfull, q, v)
+    efc_tiny = constraint.assemble(
+        mfull, pl_tiny.layout, pl_tiny.table, kin, q, v
+    )
+    efc_ok = constraint.assemble(mfull, pl_ok.layout, pl_ok.table, kin, q, v)
+    assert int(efc_tiny.con_overflow) > 0
+    assert int(efc_ok.con_overflow) == 0
+    # the pooled row map is static and matches the pool budgets
+    assert efc_ok.pool_dims == ((8, 6), (28, 3), (12, 1))
+    assert len(efc_ok.row_con) == 8 * 6 + 28 * 3 + 12 * 1
