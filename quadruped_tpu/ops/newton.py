@@ -37,7 +37,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLK = 128          # env block = lane width
-_N_LADDER = 16     # 4.0 * 0.5^k, k=0..15 (matches solver._LS_ALPHAS)
+# line-search ladder rungs: 4.0 * 0.5^k, k=0..N-1 (default matches
+# solver._LS_ALPHAS).  The ladder + parabolic refinement is a large share
+# of kernel ops; QTPU_LS_RUNGS trades line-search resolution for speed in
+# the training profile (A/B drift table in PLAN.md).
+import os as _os
+
+_N_LADDER = int(_os.environ.get("QTPU_LS_RUNGS", "16"))
+# rung spacing ratio: coarser ratios keep the alpha RANGE with fewer
+# rungs (e.g. RUNGS=9 RATIO=0.25 spans the same [6e-5, 4] as 16 x 0.5),
+# leaning on the parabolic refinement for resolution
+_LS_RATIO = float(_os.environ.get("QTPU_LS_RATIO", "0.5"))
 _SHIFT = 1e-3      # Levenberg retry scale (x maxdiag) on failed Cholesky
 
 
@@ -133,7 +143,7 @@ def newton_core(
         descs.append((row_off, con_off, Kp, dp))
         row_off += Kp * dp
         con_off += Kp
-    ladder = [4.0 * 0.5**k for k in range(_N_LADDER)] + [0.0]
+    ladder = [4.0 * _LS_RATIO**k for k in range(_N_LADDER)] + [0.0]
 
     def cone_u(z, desc):
         """Scaled dual point u and cone-zone flags for one pool."""

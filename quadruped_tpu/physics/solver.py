@@ -33,7 +33,14 @@ from .constraint import Efc
 # candidate.  A coarse ladder (the round-1 version had min alpha 0.02)
 # stalls in stiff deep-penetration states: the Newton step overshoots, every
 # candidate increases Phi, and the solver freezes short of the optimum.
-_LS_ALPHAS = tuple(4.0 * 0.5**k for k in range(16))
+# line-search ladder (matches ops/newton.py; QTPU_LS_RUNGS trades
+# line-search resolution for solve speed — A/B drift table in PLAN.md)
+import os as _os
+
+_LS_ALPHAS = tuple(
+    4.0 * float(_os.environ.get("QTPU_LS_RATIO", "0.5")) ** k
+    for k in range(int(_os.environ.get("QTPU_LS_RUNGS", "16")))
+)
 
 
 _EXPAND_CACHE: dict[tuple, tuple] = {}
