@@ -35,6 +35,8 @@ def main():
     p.add_argument("--iters", type=int,
                    default=int(os.environ.get("QTPU_SOLVER_ITERS", "8")))
     p.add_argument("--ctrl_type", default="torque")
+    p.add_argument("--pools", default=None,
+                   help="'K6,K3,K1' condim row pools, e.g. '8,28,12'")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -43,7 +45,9 @@ def main():
 
     m = robot_model("go1", args.ctrl_type)
     m.opt.iterations = args.iters
-    pl_ = Pipeline.build(m, "full", max_contacts=48)
+    pools = (dict(zip((6, 3, 1), map(int, args.pools.split(","))))
+             if args.pools else None)
+    pl_ = Pipeline.build(m, "full", max_contacts=48, contact_pools=pools)
     mj = mujoco.MjModel.from_xml_string(robot_xml("go1", args.ctrl_type))
     d = mujoco.MjData(mj)
 
@@ -77,7 +81,8 @@ def main():
         max_dv = max(max_dv, float(np.abs(np.asarray(v, np.float64)
                                           - d.qvel).max()))
     rungs = os.environ.get("QTPU_LS_RUNGS", "16")
-    print(f"iters={args.iters} rungs={rungs} substeps={args.substeps}: "
+    print(f"iters={args.iters} rungs={rungs} pools={args.pools} "
+          f"substeps={args.substeps}: "
           f"max qpos drift {max_dq:.2e}  max qvel drift {max_dv:.2e}")
 
 
