@@ -104,6 +104,14 @@ def main():
                 "value": round(steps_per_sec, 1),
                 "unit": "control steps/s (10 physics substeps each)",
                 "vs_baseline": round(steps_per_sec / BASELINE, 4),
+                # solver profile of record: results measured at different
+                # profiles are different workloads (8 warm iterations =
+                # the accuracy-measured training profile, PLAN.md drift
+                # tables; round-1 BENCH numbers were at 15)
+                "solver_iterations": int(
+                    os.environ.get("QTPU_SOLVER_ITERS", "8")
+                ),
+                "contact_pools": os.environ.get("QTPU_POOLS"),
             }
         )
     )

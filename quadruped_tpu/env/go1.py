@@ -93,6 +93,11 @@ class Go1Env:
             mode = "full"  # self-collision costs need self pairs
         pools = None
         if cfg.contact_pools is not None and mode == "full":
+            if len(cfg.contact_pools) != 3:
+                raise ValueError(
+                    "contact_pools must be (K_condim6, K_condim3, "
+                    f"K_condim1); got {cfg.contact_pools!r}"
+                )
             pools = dict(zip((6, 3, 1), cfg.contact_pools))
         self.pipeline = Pipeline.build(
             self.m, mode,

@@ -182,9 +182,12 @@ class Runner:
         metrics = {
             "healthy_frac": float((vh).sum() / nv),
             # tracking error over healthy time only: a fallen robot tracks
-            # nothing, and counting it would double-penalize healthy_frac
+            # nothing, and counting it would double-penalize healthy_frac.
+            # Zero healthy steps -> NaN, NOT 0.0: a fully collapsed policy
+            # must not read as perfect tracking (and the parity harness's
+            # reference side reports NaN for the same case)
             "tracking_error": float(
-                (err * vh).sum() / max(vh.sum(), 1)
+                (err * vh).sum() / vh.sum() if vh.sum() else float("nan")
             ),
             # final distance from origin of each episode, averaged
             "distance": float(

@@ -27,6 +27,7 @@ import argparse
 import json
 import os
 import re
+import threading
 from http import HTTPStatus
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -147,6 +148,7 @@ class MonitorHandler(BaseHTTPRequestHandler):
             self._send(HTTPStatus.NOT_FOUND, b"not found", "text/plain")
 
     _THUMBS: dict = {}
+    _THUMBS_LOCK = threading.Lock()
 
     def _thumb(self, filename: str):
         """First-frame JPEG thumbnail of a video (cached by mtime)."""
@@ -178,14 +180,19 @@ class MonitorHandler(BaseHTTPRequestHandler):
                 self._send(HTTPStatus.NOT_FOUND, b"no thumbnail",
                            "text/plain")
                 return
-            # evict stale mtimes of this file, bound total entries
-            for k in [k for k in MonitorHandler._THUMBS if k[0] == str(f)]:
-                del MonitorHandler._THUMBS[k]
-            while len(MonitorHandler._THUMBS) >= 64:
-                del MonitorHandler._THUMBS[
-                    next(iter(MonitorHandler._THUMBS))
-                ]
-            MonitorHandler._THUMBS[key] = jpg
+            # evict stale mtimes of this file, bound total entries; the
+            # ThreadingHTTPServer serves handlers concurrently, so cache
+            # mutation is locked (two concurrent misses would double-del)
+            with MonitorHandler._THUMBS_LOCK:
+                for k in [
+                    k for k in MonitorHandler._THUMBS if k[0] == str(f)
+                ]:
+                    MonitorHandler._THUMBS.pop(k, None)
+                while len(MonitorHandler._THUMBS) >= 64:
+                    MonitorHandler._THUMBS.pop(
+                        next(iter(MonitorHandler._THUMBS))
+                    )
+                MonitorHandler._THUMBS[key] = jpg
         self._send(HTTPStatus.OK, jpg, "image/jpeg")
 
     def _stream(self, filename: str):

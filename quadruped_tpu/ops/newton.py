@@ -37,17 +37,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLK = 128          # env block = lane width
-# line-search ladder rungs: 4.0 * 0.5^k, k=0..N-1 (default matches
-# solver._LS_ALPHAS).  The ladder + parabolic refinement is a large share
-# of kernel ops; QTPU_LS_RUNGS trades line-search resolution for speed in
-# the training profile (A/B drift table in PLAN.md).
-import os as _os
+# Line-search ladder: SHARED with the XLA solver (single source — both
+# read QTPU_LS_RUNGS/QTPU_LS_RATIO at physics.solver import; reading the
+# env twice at different import times could silently diverge the kernel
+# from the reference path that tests pin it against).  Trimming the
+# ladder was measured and rejected: PLAN.md drift table.
+from ..physics.solver import _LS_ALPHAS as _LADDER_ALPHAS
 
-_N_LADDER = int(_os.environ.get("QTPU_LS_RUNGS", "16"))
-# rung spacing ratio: coarser ratios keep the alpha RANGE with fewer
-# rungs (e.g. RUNGS=9 RATIO=0.25 spans the same [6e-5, 4] as 16 x 0.5),
-# leaning on the parabolic refinement for resolution
-_LS_RATIO = float(_os.environ.get("QTPU_LS_RATIO", "0.5"))
+_N_LADDER = len(_LADDER_ALPHAS)
 _SHIFT = 1e-3      # Levenberg retry scale (x maxdiag) on failed Cholesky
 
 
@@ -143,7 +140,7 @@ def newton_core(
         descs.append((row_off, con_off, Kp, dp))
         row_off += Kp * dp
         con_off += Kp
-    ladder = [4.0 * _LS_RATIO**k for k in range(_N_LADDER)] + [0.0]
+    ladder = list(_LADDER_ALPHAS) + [0.0]
 
     def cone_u(z, desc):
         """Scaled dual point u and cone-zone flags for one pool."""
@@ -272,15 +269,21 @@ def newton_core(
 
         # H = M + Gram over [all J rows | 3 rank-1 cone rows per friction
         # contact].  Two sweeps (J-part, rank-1-part) with no concatenated/
-        # weighted row copies: VMEM in the kernel is tight (J is ~MB/block)
-        Us = jnp.concatenate(U_rows, axis=0)   # (3*K_fric, nv, B)
-        wU = jnp.concatenate(wU_rows, axis=0)  # (3*K_fric, B)
+        # weighted row copies: VMEM in the kernel is tight (J is ~MB/block).
+        # U_rows is empty when every pool is frictionless (dim 1) — then
+        # the Hessian has no rank-1 part at all.
+        have_U = bool(U_rows)
+        if have_U:
+            Us = jnp.concatenate(U_rows, axis=0)   # (3*K_fric, nv, B)
+            wU = jnp.concatenate(wU_rows, axis=0)  # (3*K_fric, B)
         cols = [[None] * nv for _ in range(nv)]
         for i in range(nv):
             Ji_w = J[:, i, :] * w
-            Ui_w = Us[:, i, :] * wU
+            Ui_w = Us[:, i, :] * wU if have_U else None
             for j2 in range(i, nv):
-                hij = _s2(Ji_w * J[:, j2, :]) + _s2(Ui_w * Us[:, j2, :])
+                hij = _s2(Ji_w * J[:, j2, :])
+                if have_U:
+                    hij = hij + _s2(Ui_w * Us[:, j2, :])
                 cols[i][j2] = hij
                 cols[j2][i] = hij
         H = jnp.stack(

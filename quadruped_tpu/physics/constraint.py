@@ -221,6 +221,51 @@ def _kb(solref, solimp):
     return K, B
 
 
+_CONST_CACHE: "_weakref.WeakKeyDictionary[EfcLayout, np.ndarray]" = None  # set below
+
+
+def _packed_const(layout: EfcLayout) -> np.ndarray:
+    """Packed per-candidate constant table for the single-gather top-K
+    paths (pooled and uniform share it — one column map to maintain):
+    [margin | solref(2) | solimp(5) | friction(5) | diagapprox | body1 |
+     body2 | condim | includemargin]  (ncand, 18)."""
+    global _CONST_CACHE
+    if _CONST_CACHE is None:
+        import weakref as _wr
+
+        _CONST_CACHE = _wr.WeakKeyDictionary()
+    tbl = _CONST_CACHE.get(layout)
+    if tbl is None:
+        tbl = np.concatenate(
+            [
+                np.asarray(layout.con_margin, np.float64)[:, None],
+                np.asarray(layout.con_solref, np.float64),
+                np.asarray(layout.con_solimp, np.float64),
+                np.asarray(layout.con_friction, np.float64),
+                np.asarray(layout.con_diagapprox, np.float64)[:, None],
+                np.asarray(layout.con_body1, np.float64)[:, None],
+                np.asarray(layout.con_body2, np.float64)[:, None],
+                np.asarray(layout.con_condim, np.float64)[:, None],
+                np.asarray(layout.con_includemargin, np.float64)[:, None],
+            ],
+            axis=1,
+        )
+        _CONST_CACHE[layout] = tbl
+    return tbl
+
+
+def _unpack_const(csel):
+    """Column map of _packed_const after gather (condim returned raw)."""
+    return dict(
+        margin=csel[:, 0], solref=csel[:, 1:3], solimp=csel[:, 3:8],
+        mu=csel[:, 8:13], diagapprox=csel[:, 13],
+        body1=csel[:, 14].astype(jnp.int32),
+        body2=csel[:, 15].astype(jnp.int32),
+        condim=csel[:, 16].astype(jnp.int32),
+        includemargin=csel[:, 17],
+    )
+
+
 def assemble(
     m: PhysicsModel,
     layout: EfcLayout,
@@ -302,22 +347,7 @@ def assemble(
         data = jnp.concatenate(
             [dist_all[:, None], pos_all, frame_all.reshape(-1, 9)], axis=1
         )
-        const = jnp.asarray(
-            np.concatenate(
-                [
-                    np.asarray(layout.con_margin, np.float64)[:, None],
-                    np.asarray(layout.con_solref, np.float64),
-                    np.asarray(layout.con_solimp, np.float64),
-                    np.asarray(layout.con_friction, np.float64),
-                    np.asarray(layout.con_diagapprox, np.float64)[:, None],
-                    np.asarray(layout.con_body1, np.float64)[:, None],
-                    np.asarray(layout.con_body2, np.float64)[:, None],
-                    np.asarray(layout.con_includemargin, np.float64)[:, None],
-                ],
-                axis=1,
-            ),
-            dtype,
-        )
+        const = jnp.asarray(_packed_const(layout), dtype)
         dsel_l, csel_l, sel_l, valid_l, cd_l = [], [], [], [], []
         overflow = jnp.zeros((), jnp.int32)
         for cdim, idx, Kc in layout.pools:
@@ -350,12 +380,14 @@ def assemble(
         dist, pos = dsel[:, 0], dsel[:, 1:4]
         frame = dsel[:, 4:13].reshape(-1, 3, 3)
         dist = jnp.where(slot_valid, dist, 1e9)
-        margin, solref, solimp = csel[:, 0], csel[:, 1:3], csel[:, 3:8]
-        mu, diagapprox = csel[:, 8:13], csel[:, 13]
-        body1 = csel[:, 14].astype(jnp.int32)
-        body2 = csel[:, 15].astype(jnp.int32)
+        c = _unpack_const(csel)
+        margin, solref, solimp = c["margin"], c["solref"], c["solimp"]
+        mu, diagapprox = c["mu"], c["diagapprox"]
+        body1, body2 = c["body1"], c["body2"]
+        includemargin = c["includemargin"]
+        # slot condim is the pool's STATIC dim (compact rows), not the
+        # gathered per-candidate value
         condim = jnp.asarray(static_cd)
-        includemargin = csel[:, 16]
     elif K is not None and K < layout.ncon:
         # stream-compact the active candidates into K solver slots with a
         # cumsum + searchsorted (scatter-free; a full top_k sort is ~4x
@@ -388,35 +420,18 @@ def assemble(
         data = jnp.concatenate(
             [dist_all[:, None], pos_all, frame_all.reshape(-1, 9)], axis=1
         )
-        const = jnp.asarray(
-            np.concatenate(
-                [
-                    np.asarray(layout.con_margin, np.float64)[:, None],
-                    np.asarray(layout.con_solref, np.float64),
-                    np.asarray(layout.con_solimp, np.float64),
-                    np.asarray(layout.con_friction, np.float64),
-                    np.asarray(layout.con_diagapprox, np.float64)[:, None],
-                    np.asarray(layout.con_body1, np.float64)[:, None],
-                    np.asarray(layout.con_body2, np.float64)[:, None],
-                    np.asarray(layout.con_condim, np.float64)[:, None],
-                    np.asarray(layout.con_includemargin, np.float64)[:, None],
-                ],
-                axis=1,
-            ),
-            dtype,
-        )
+        const = jnp.asarray(_packed_const(layout), dtype)
         dsel = data[sel]
         csel = const[sel]
         dist, pos = dsel[:, 0], dsel[:, 1:4]
         frame = dsel[:, 4:13].reshape(-1, 3, 3)
         # force unselected slots inactive regardless of the dummy gather
         dist = jnp.where(slot_valid, dist, 1e9)
-        margin, solref, solimp = csel[:, 0], csel[:, 1:3], csel[:, 3:8]
-        mu, diagapprox = csel[:, 8:13], csel[:, 13]
-        body1 = csel[:, 14].astype(jnp.int32)
-        body2 = csel[:, 15].astype(jnp.int32)
-        condim = csel[:, 16].astype(jnp.int32)
-        includemargin = csel[:, 17]
+        c = _unpack_const(csel)
+        margin, solref, solimp = c["margin"], c["solref"], c["solimp"]
+        mu, diagapprox = c["mu"], c["diagapprox"]
+        body1, body2 = c["body1"], c["body2"]
+        condim, includemargin = c["condim"], c["includemargin"]
     else:
         K = layout.ncon
         sel = None

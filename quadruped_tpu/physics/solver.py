@@ -268,6 +268,10 @@ def solve(
 # Keyed on the live model object (WeakKeyDictionary), NOT id(m): an id can
 # be reused by a new model after the old one is collected, which would
 # silently return a core closed over the dead model's constants (ADVICE r1).
+# Known limitation (here and in the _FK/_SMOOTH/_ASM/_CFRC core caches):
+# the cached closure itself references the key model, so entries are only
+# collectable together with the closure — in practice they live for the
+# process, bounded by the number of distinct models built.
 import weakref
 
 _CORE_CACHE: "weakref.WeakKeyDictionary[PhysicsModel, dict]" = (

@@ -19,7 +19,7 @@ from pathlib import Path
 import numpy as np
 
 _RENDERER = None
-_RENDER_MODEL = None
+_RENDER_MODEL: dict = {}  # (robot, ctrl_type) -> PhysicsModel
 
 
 def _ensure_gl():
@@ -253,10 +253,10 @@ class TrajectoryRenderer:
         from ..physics.kinematics import fk
         import jax.numpy as jnp
 
-        global _RENDER_MODEL
-        if _RENDER_MODEL is None:
-            _RENDER_MODEL = robot_model(self.robot, self.ctrl_type)
-        m = _RENDER_MODEL
+        key = (self.robot, self.ctrl_type)
+        if key not in _RENDER_MODEL:
+            _RENDER_MODEL[key] = robot_model(self.robot, self.ctrl_type)
+        m = _RENDER_MODEL[key]
         kin = fk(m, jnp.asarray(qpos), jnp.zeros(m.nv))
         xpos = np.asarray(kin.xpos)
         img = np.full((self.height, self.width, 3), 255, np.uint8)

@@ -40,6 +40,17 @@ def test_gait_metrics_masks_post_done_steps():
     assert abs(m["distance"] - 1.75) < 1e-9
 
 
+def test_zero_healthy_steps_reports_nan_tracking():
+    """A fully collapsed policy must not read as perfect tracking."""
+    valid = np.ones((2, 4), bool)
+    healthy = np.zeros((2, 4), bool)
+    err = np.full((2, 4), 0.4)
+    dist = np.zeros((2, 4))
+    m = Runner._gait_metrics(_fake_out(valid, healthy, err, dist))
+    assert m["healthy_frac"] == 0.0
+    assert np.isnan(m["tracking_error"])
+
+
 def test_gait_metrics_reward_channels_masked():
     valid = np.array([[1, 0]], bool)
     healthy = np.ones((1, 2), bool)
