@@ -549,66 +549,32 @@ def assemble(
 
 
 # ---------------------------------------------------------------------------
-# batch-LAST assemble dispatch
+# batch-LAST assemble dispatch (shared rule: physics/dispatch.py)
 # ---------------------------------------------------------------------------
 
-import os as _os
 import weakref as _weakref
+
+from .dispatch import batch_last, blast_enabled
 
 _ASM_CORE: "_weakref.WeakKeyDictionary[EfcLayout, object]" = (
     _weakref.WeakKeyDictionary()
 )
 
 
-def assemble_dispatch(m: PhysicsModel, layout: EfcLayout,
-                      table: CollisionTable):
-    """custom_vmap assemble: single-env calls run `assemble` unchanged
-    (oracle-exact); under vmap the batch rule re-executes the SAME code
-    with the env batch on the TRAILING axis (vmap in_axes=-1), so the
-    narrowphase geometry math, packed gathers, and J-row einsums all carry
-    the batch on the TPU 128-lane minor dimension instead of leaving 3/6/9-
-    wide trailing dims padded to full tiles (the dispatch pattern that
-    measured 2.1x on cfrc_ext, PLAN.md).  QTPU_ASM_BLAST: 1 on, 0 off; default on for TPU/GPU,
-    off on CPU (no lanes to win, much slower compiles)."""
-    if layout in _ASM_CORE:
-        return _ASM_CORE[layout]
-
-    from jax import custom_batching
-
-    @custom_batching.custom_vmap
-    def core(kin, qpos, qvel, terrain):
-        return assemble(m, layout, table, kin, qpos, qvel,
-                        terrain=terrain if terrain else None)
-
-    @core.def_vmap
-    def _rule(axis_size, in_batched, kin, qpos, qvel, terrain):
-        args = (kin, qpos, qvel, terrain)
-        flat, treedef = jax.tree.flatten(args)
-        flat_b = jax.tree.leaves(in_batched)
-        flat = [
-            x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-            for x, b in zip(flat, flat_b)
-        ]
-        args = jax.tree.unflatten(treedef, flat)
-        args = jax.tree.map(lambda x: jnp.moveaxis(x, 0, -1), args)
-        out = jax.vmap(
+def assemble_auto(m, layout, table, kin, qpos, qvel, terrain=None):
+    """assemble with the env batch on the TPU lane axis under vmap — the
+    narrowphase geometry math, packed gathers and J-row einsums all carry
+    the batch on the 128-lane minor dimension instead of leaving 3/6/9-
+    wide trailing dims padded to full tiles.  QTPU_ASM_BLAST: 1 on, 0
+    off; default on for TPU/GPU, off on CPU."""
+    if not blast_enabled("QTPU_ASM_BLAST"):
+        return assemble(m, layout, table, kin, qpos, qvel, terrain=terrain)
+    core = _ASM_CORE.get(layout)
+    if core is None:
+        core = batch_last(
             lambda k, q, v, t: assemble(
                 m, layout, table, k, q, v, terrain=t if t else None
-            ),
-            in_axes=-1, out_axes=-1,
-        )(*args)
-        out_batched = jax.tree.map(lambda _: True, out)
-        return jax.tree.map(lambda x: jnp.moveaxis(x, -1, 0), out), out_batched
-
-    _ASM_CORE[layout] = core
-    return core
-
-
-def assemble_auto(m, layout, table, kin, qpos, qvel, terrain=None):
-    """assemble with the batch-last vmap rule unless disabled by env."""
-    v = _os.environ.get("QTPU_ASM_BLAST")
-    if v == "0" or (v is None and jax.default_backend() == "cpu"):
-        return assemble(m, layout, table, kin, qpos, qvel, terrain=terrain)
-    return assemble_dispatch(m, layout, table)(
-        kin, qpos, qvel, terrain if terrain is not None else {}
-    )
+            )
+        )
+        _ASM_CORE[layout] = core
+    return core(kin, qpos, qvel, terrain if terrain is not None else {})

@@ -279,11 +279,12 @@ def ancestor_dof_pair_mask(m: PhysicsModel) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# batch-LAST fk dispatch (same pattern as smooth._smooth_dispatch)
+# batch-LAST fk dispatch (shared rule: physics/dispatch.py)
 # ---------------------------------------------------------------------------
 
-import os as _os
 import weakref as _weakref
+
+from .dispatch import batch_last, blast_enabled
 
 # WeakKeyDictionary on the live model, not id(m) (ADVICE r1: id reuse
 # after GC would serve a stale closure)
@@ -292,40 +293,14 @@ _FK_CORE: "_weakref.WeakKeyDictionary[PhysicsModel, object]" = (
 )
 
 
-def _fk_dispatch(m: PhysicsModel):
-    if m in _FK_CORE:
-        return _FK_CORE[m]
-
-    from jax import custom_batching
-
-    @custom_batching.custom_vmap
-    def core(qpos, qvel):
-        return fk(m, qpos, qvel)
-
-    @core.def_vmap
-    def _rule(axis_size, in_batched, qpos, qvel):
-        flat, treedef = jax.tree.flatten((qpos, qvel))
-        flat_b = jax.tree.leaves(in_batched)
-        flat = [
-            x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-            for x, b in zip(flat, flat_b)
-        ]
-        args = jax.tree.unflatten(treedef, flat)
-        args = jax.tree.map(lambda x: jnp.moveaxis(x, 0, -1), args)
-        out = jax.vmap(lambda q, v: fk(m, q, v), in_axes=-1, out_axes=-1)(
-            *args
-        )
-        out_batched = jax.tree.map(lambda _: True, out)
-        return jax.tree.map(lambda x: jnp.moveaxis(x, -1, 0), out), out_batched
-
-    _FK_CORE[m] = core
-    return core
-
-
 def fk_auto(m: PhysicsModel, qpos: jax.Array, qvel: jax.Array) -> Kin:
     """fk with the env batch on the TPU lane axis under vmap (body frames
-    carry 3/4-wide trailing dims otherwise).  QTPU_FK_BLAST: 1 forces on, 0 off; default = on for TPU/GPU, off on CPU (the trailing-axis vmap inflates CPU compile times with no lane benefit)."""
-    v = _os.environ.get("QTPU_FK_BLAST")
-    if v == "0" or (v is None and jax.default_backend() == "cpu"):
+    carry 3/4-wide trailing dims otherwise).  QTPU_FK_BLAST: 1 forces on,
+    0 off; default = on for TPU/GPU, off on CPU."""
+    if not blast_enabled("QTPU_FK_BLAST"):
         return fk(m, qpos, qvel)
-    return _fk_dispatch(m)(qpos, qvel)
+    core = _FK_CORE.get(m)
+    if core is None:
+        core = batch_last(lambda q, v: fk(m, q, v))
+        _FK_CORE[m] = core
+    return core(qpos, qvel)

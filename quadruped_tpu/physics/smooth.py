@@ -142,53 +142,28 @@ def smooth_dynamics(
 
 
 # ---------------------------------------------------------------------------
-# batch-LAST smooth dispatch (same pattern as constraint.assemble_dispatch)
+# batch-LAST smooth dispatch (shared rule: physics/dispatch.py)
 # ---------------------------------------------------------------------------
 
-import os as _os
 import weakref as _weakref
+
+from .dispatch import batch_last, blast_enabled
 
 _SMOOTH_CORE: "_weakref.WeakKeyDictionary[PhysicsModel, object]" = (
     _weakref.WeakKeyDictionary()
 )
 
 
-def _smooth_dispatch(m: PhysicsModel):
-    if m in _SMOOTH_CORE:
-        return _SMOOTH_CORE[m]
-
-    from jax import custom_batching
-
-    @custom_batching.custom_vmap
-    def core(params, kin, qpos, qvel, ctrl):
-        return smooth_dynamics(m, params, kin, qpos, qvel, ctrl)
-
-    @core.def_vmap
-    def _rule(axis_size, in_batched, *args):
-        flat, treedef = jax.tree.flatten(args)
-        flat_b = jax.tree.leaves(in_batched)
-        flat = [
-            x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-            for x, b in zip(flat, flat_b)
-        ]
-        args = jax.tree.unflatten(treedef, flat)
-        args = jax.tree.map(lambda x: jnp.moveaxis(x, 0, -1), args)
-        out = jax.vmap(
-            lambda p, k, q, v, c: smooth_dynamics(m, p, k, q, v, c),
-            in_axes=-1, out_axes=-1,
-        )(*args)
-        out_batched = jax.tree.map(lambda _: True, out)
-        return jax.tree.map(lambda x: jnp.moveaxis(x, -1, 0), out), out_batched
-
-    _SMOOTH_CORE[m] = core
-    return core
-
-
 def smooth_dynamics_auto(m, params, kin, qpos, qvel, ctrl):
     """smooth_dynamics with the env batch on the TPU lane axis under vmap
-    (CRBA/RNEA/actuation carry tiny trailing dims otherwise).  QTPU_SMOOTH_BLAST: 1 forces on, 0 off; default = on
-    for TPU/GPU, off on CPU (no lanes to win, much slower compiles)."""
-    v = _os.environ.get("QTPU_SMOOTH_BLAST")
-    if v == "0" or (v is None and jax.default_backend() == "cpu"):
+    (CRBA/RNEA/actuation carry tiny trailing dims otherwise).
+    QTPU_SMOOTH_BLAST: 1 on, 0 off; default on for TPU/GPU, off on CPU."""
+    if not blast_enabled("QTPU_SMOOTH_BLAST"):
         return smooth_dynamics(m, params, kin, qpos, qvel, ctrl)
-    return _smooth_dispatch(m)(params, kin, qpos, qvel, ctrl)
+    core = _SMOOTH_CORE.get(m)
+    if core is None:
+        core = batch_last(
+            lambda p, k, q, v, c: smooth_dynamics(m, p, k, q, v, c)
+        )
+        _SMOOTH_CORE[m] = core
+    return core(params, kin, qpos, qvel, ctrl)
