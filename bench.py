@@ -18,7 +18,28 @@ Prints exactly one JSON line.
 import json
 import os
 import sys
+import threading
 import time
+
+# Watchdog: a wedged axon tunnel blocks inside device init/dispatch with
+# no Python-level timeout, which would hang an unattended bench run
+# forever; exit with a distinct code instead so callers see a clean
+# failure.  Generous default: a cold TPU compile of the fused step is
+# minutes.
+_DEADLINE_S = float(os.environ.get("QTPU_BENCH_DEADLINE", "1500"))
+
+
+def _watchdog():
+    time.sleep(_DEADLINE_S)
+    print(
+        json.dumps({"error": f"bench watchdog: no result in {_DEADLINE_S}s "
+                             "(TPU tunnel wedged?)"}),
+        file=sys.stderr, flush=True,
+    )
+    os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax
 import jax.numpy as jnp
