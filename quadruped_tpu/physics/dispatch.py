@@ -8,9 +8,14 @@ rule built here re-executes the SAME single-env code under a trailing-
 axis vmap (in_axes=-1), so the env batch rides the 128-wide lane axis
 instead (the treatment that measured 2.1x on cfrc_ext, PLAN.md).
 
-On CPU there are no vector lanes to win and the trailing-axis vmap
-inflates XLA compile times badly, so the dispatches default ON only
-off-CPU; QTPU_{FK,SMOOTH,ASM}_BLAST=1/0 forces either way.
+Default: OFF until measured on-chip (QTPU_{FK,SMOOTH,ASM}_BLAST=1 to
+enable).  Two reasons: on CPU there are no vector lanes to win and the
+trailing-axis vmap inflated XLA compile times badly (a PPO-program
+compile went 8 min -> 20+ min); and the TPU compile/perf of these
+programs has not been measured yet this round (axon tunnel outage) — the
+round driver runs bench unattended, so the default path must be the
+known-good one.  tools/TPU_WORKQUEUE.md §1 A/Bs them and flips the
+default with numbers.
 """
 
 from __future__ import annotations
@@ -23,8 +28,7 @@ from jax import custom_batching
 
 
 def blast_enabled(env_var: str) -> bool:
-    v = os.environ.get(env_var)
-    return not (v == "0" or (v is None and jax.default_backend() == "cpu"))
+    return os.environ.get(env_var) == "1"
 
 
 def batch_last(fn):
