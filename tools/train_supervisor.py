@@ -57,18 +57,25 @@ def global_step_of(ckpt: Path | None) -> int:
     return 0
 
 
-def ping_until_alive(timeout_s=1200):
+def ping_until_alive(timeout_s=12 * 3600):
+    # The tunnel has been observed dead for >10 h at a stretch; wait it
+    # out rather than abandoning a resumable run.  A hung ping raises
+    # TimeoutExpired (the usual wedge signature) — treat it as not-ready.
     t0 = time.time()
     while time.time() - t0 < timeout_s:
-        r = subprocess.run(
-            [sys.executable, str(REPO / "tools/tpu_ping.py")],
-            capture_output=True, timeout=180, text=True, cwd=REPO,
-        )
-        if r.returncode == 0 and "result:" in r.stdout:
+        try:
+            r = subprocess.run(
+                [sys.executable, str(REPO / "tools/tpu_ping.py")],
+                capture_output=True, timeout=180, text=True, cwd=REPO,
+            )
+            ok, rc = r.returncode == 0 and "result:" in r.stdout, r.returncode
+        except subprocess.TimeoutExpired:
+            ok, rc = False, "hang"
+        if ok:
             return True
-        print(f"[supervisor] device not ready (rc={r.returncode}); waiting",
+        print(f"[supervisor] device not ready (rc={rc}); waiting",
               flush=True)
-        time.sleep(30)
+        time.sleep(120)
     return False
 
 
@@ -122,7 +129,11 @@ def main():
                     print(f"[supervisor] stall: log idle {age/60:.1f} min — "
                           "killing child", flush=True)
                     os.killpg(child.pid, signal.SIGKILL)
-                    child.wait(timeout=60)
+                    try:
+                        child.wait(timeout=60)
+                    except subprocess.TimeoutExpired:
+                        print("[supervisor] child unkillable (D-state?); "
+                              "proceeding", flush=True)
                     break
         finally:
             log.close()
