@@ -92,6 +92,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'K6,K3,K1' per-condim-class top-K solver slots "
                         "(condim row pools), e.g. '8,28,12'. Default: "
                         "uniform top-K (max_contacts).")
+    p.add_argument("--max_unhealthy_time", type=float, default=None,
+                   help="Seconds of continuous unhealthy time before "
+                        "termination (reference: 15, go1_mujoco_env.py:130)."
+                        " Lower values (e.g. 1.0) terminate fallen episodes"
+                        " early — a fallen robot earns the floored-at-zero "
+                        "reward, so its samples carry no gradient; early "
+                        "reset densifies the learning signal without "
+                        "touching the reward function. Default: reference "
+                        "semantics (15 s).")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="Capture a jax.profiler trace of a few training "
                         "iterations to this directory (view with "
@@ -113,6 +122,8 @@ def make_env(args):
         extra["contact_pools"] = tuple(
             int(x) for x in args.contact_pools.split(",")
         )
+    if getattr(args, "max_unhealthy_time", None) is not None:
+        extra["max_unhealthy_time"] = args.max_unhealthy_time
     cfg = Go1Config(
         robot=getattr(args, "robot", "go1"),
         ctrl_type=args.ctrl_type,

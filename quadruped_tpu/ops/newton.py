@@ -146,9 +146,12 @@ def newton_core(
         """Scaled dual point u and cone-zone flags for one pool."""
         ro, co, Kp, dp = desc
         zc = z[nfl + ro : nfl + ro + Kp * dp].reshape(Kp, dp, z.shape[-1])
-        Rn2 = Rn[co : co + Kp, None, :]
-        mu2 = mu[co : co + Kp, None, :]
-        mk = maskd[co : co + Kp, :dp] * conact[co : co + Kp, None, :]
+        # NOTE: slice-then-newaxis, never `x[a:b, None, :]` — a partial
+        # slice mixed with None in one [] lowers to lax.gather, which
+        # Mosaic rejects (only 2D take_along_axis gathers are supported)
+        Rn2 = Rn[co : co + Kp][:, None, :]
+        mu2 = mu[co : co + Kp][:, None, :]
+        mk = maskd[co : co + Kp, :dp] * conact[co : co + Kp][:, None, :]
         sc = scale[co : co + Kp, :dp]
         u = -(zc * sc * mk) / Rn2
         u0 = u[:, 0:1, :]
@@ -218,7 +221,7 @@ def newton_core(
             mid_c = mu2 * al / t                        # (Kp, 1, B)
             diag_c = jnp.where(bottom, 1.0, jnp.where(top, 0.0, mid_c))
             fsc = fscale[co : co + Kp, :dp]
-            cac = conact[co : co + Kp, None, :]
+            cac = conact[co : co + Kp][:, None, :]
             if dp > 1:
                 tdir = ut / t
                 phit = jnp.where(
