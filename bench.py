@@ -65,9 +65,11 @@ def build():
     # iterations to tolerance on this model; oracle-parity tests pin the
     # near-exact 15-iteration profile explicitly.
     it = os.environ.get("QTPU_SOLVER_ITERS", "8")
-    # QTPU_POOLS="8,28,12" enables condim row pools for on-chip A/B
-    # (off by default until measured on real TPU hardware)
-    pools = os.environ.get("QTPU_POOLS")
+    # Condim row pools: default ON — measured +26% on-chip (v5e A/B
+    # matrix in PLAN.md: 4,948 -> 6,233 steps/s at 8 iterations; pooled
+    # trajectory drift vs the oracle is layout-neutral, tools/drift_ab.py).
+    # QTPU_POOLS overrides ("" disables, "K6,K3,K1" sets the budgets).
+    pools = os.environ.get("QTPU_POOLS", "8,28,12")
     env = Go1Env(Go1Config(
         ctrl_type="torque",
         solver_iterations=int(it) if it else None,
@@ -132,7 +134,7 @@ def main():
                 "solver_iterations": int(
                     os.environ.get("QTPU_SOLVER_ITERS", "8")
                 ),
-                "contact_pools": os.environ.get("QTPU_POOLS"),
+                "contact_pools": os.environ.get("QTPU_POOLS", "8,28,12") or None,
             }
         )
     )

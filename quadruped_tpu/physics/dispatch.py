@@ -8,14 +8,13 @@ rule built here re-executes the SAME single-env code under a trailing-
 axis vmap (in_axes=-1), so the env batch rides the 128-wide lane axis
 instead (the treatment that measured 2.1x on cfrc_ext, PLAN.md).
 
-Default: OFF until measured on-chip (QTPU_{FK,SMOOTH,ASM}_BLAST=1 to
-enable).  Two reasons: on CPU there are no vector lanes to win and the
-trailing-axis vmap inflated XLA compile times badly (a PPO-program
-compile went 8 min -> 20+ min); and the TPU compile/perf of these
-programs has not been measured yet this round (axon tunnel outage) — the
-round driver runs bench unattended, so the default path must be the
-known-good one.  tools/TPU_WORKQUEUE.md §1 A/Bs them and flips the
-default with numbers.
+Default: ON for TPU/GPU backends, OFF on CPU (QTPU_{FK,SMOOTH,ASM}_BLAST
+overrides: 1 forces on, 0 forces off).  Measured on-chip (v5e, 4096 envs,
+8 Newton iterations — bench A/B matrix in PLAN.md): fk+smooth+asm
+batch-last is +3.7% end-to-end without pools and +4.1% with condim row
+pools (6,233 -> 6,491 steps/s).  On CPU there are no vector lanes to win
+and the trailing-axis vmap inflated XLA compile times badly (a
+PPO-program compile went 8 min -> 20+ min), so CPU keeps batch-first.
 """
 
 from __future__ import annotations
@@ -28,7 +27,10 @@ from jax import custom_batching
 
 
 def blast_enabled(env_var: str) -> bool:
-    return os.environ.get(env_var) == "1"
+    v = os.environ.get(env_var)
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() != "cpu"
 
 
 def batch_last(fn):
