@@ -39,6 +39,23 @@ def _watchdog():
     os._exit(3)
 
 
+# TPU arbitration (VERDICT r2 #3): the round-2 driver bench wedged with
+# no number because a training run held the chip.  Post a preemption
+# request and wait (bounded) for the supervisor to checkpoint-and-yield;
+# training resumes automatically when this process exits.  The wait runs
+# BEFORE the watchdog starts so a slow yield doesn't eat the compile
+# budget.
+from quadruped_tpu.utils import tpulock  # noqa: E402  (pre-jax: cheap, no device touch)
+
+if not tpulock.acquire_with_preempt(
+    "bench", timeout_s=float(os.environ.get("QTPU_LOCK_TIMEOUT", "420"))
+):
+    print(
+        json.dumps({"warning": "TPU lock contested past timeout; "
+                               "benching anyway", "holder": tpulock.holder()}),
+        file=sys.stderr, flush=True,
+    )
+
 threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax

@@ -31,6 +31,9 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from quadruped_tpu.utils import tpulock  # noqa: E402
 
 
 def newest_checkpoint(run_dir: Path) -> Path | None:
@@ -85,10 +88,31 @@ def main():
     p.add_argument("--stall_minutes", type=float, default=12.0)
     p.add_argument("--max_restarts", type=int, default=30)
     p.add_argument("--log", default="/tmp/supervised_train.log")
+    p.add_argument("--no_preflight", action="store_true",
+                   help="Skip the CPU signal preflight (discouraged: round "
+                        "2 burned ~5 TPU-hours on a provably dead objective "
+                        "that the preflight catches in a minute).")
     p.add_argument("train_args", nargs=argparse.REMAINDER,
                    help="-- then quadruped_tpu.cli.train flags")
     args = p.parse_args()
     extra = [a for a in args.train_args if a != "--"]
+
+    # Launch gate (VERDICT r2 #1/#2): refuse objectives with no learning
+    # signal from init.  Runs on CPU — never touches the chip.
+    if not args.no_preflight:
+        pf = subprocess.run(
+            [sys.executable, str(REPO / "tools/preflight_signal.py"),
+             "--run", "train"] + extra,
+            cwd=REPO, env={**os.environ, "QTPU_FORCE_CPU": "1"},
+        )
+        if pf.returncode != 0:
+            print("[supervisor] PREFLIGHT FAILED (dead learning signal) — "
+                  "refusing to launch. See the channel decomposition above; "
+                  "override with --no_preflight only if you know better.",
+                  flush=True)
+            sys.exit(pf.returncode)
+        print("[supervisor] preflight ok — objective carries signal",
+              flush=True)
 
     # run dir is created by the child on first launch; discover it from the
     # --run_name flag so resume segments share it
@@ -110,6 +134,16 @@ def main():
         ] + extra
         if resume is not None:
             cmd += ["--model_path", str(resume)]
+        # TPU arbitration (VERDICT r2 #3): never launch while the bench —
+        # or any other client — holds the chip; wait out preempt windows
+        # so training resumes as soon as the bench is done
+        while tpulock.preempt_requested() or not tpulock.acquire(
+            "train", timeout_s=30.0, verbose=False
+        ):
+            print(f"[supervisor] chip busy (holder={tpulock.holder()}, "
+                  f"preempt={tpulock.preempt_requested()}); waiting",
+                  flush=True)
+            time.sleep(15)
         print(f"[supervisor] launch (resume={resume}): {' '.join(cmd)}",
               flush=True)
         log = open(args.log, "ab")
@@ -117,12 +151,25 @@ def main():
             cmd, stdout=log, stderr=subprocess.STDOUT, cwd=REPO,
             start_new_session=True,
         )
+        preempted = False
         try:
             while True:
-                time.sleep(60)
+                time.sleep(20)
                 if child.poll() is not None:
                     print(f"[supervisor] child exited rc={child.returncode}",
                           flush=True)
+                    break
+                if tpulock.preempt_requested():
+                    # bench wants the chip: kill the segment (it resumes
+                    # from the newest checkpoint afterwards) and yield
+                    print("[supervisor] preempt requested (bench window) — "
+                          "yielding the chip", flush=True)
+                    os.killpg(child.pid, signal.SIGKILL)
+                    try:
+                        child.wait(timeout=60)
+                    except subprocess.TimeoutExpired:
+                        pass
+                    preempted = True
                     break
                 age = time.time() - os.path.getmtime(args.log)
                 if age > args.stall_minutes * 60:
@@ -137,6 +184,19 @@ def main():
                     break
         finally:
             log.close()
+            tpulock.release()
+
+        if preempted:
+            # wait for the bench to clear its request, then resume without
+            # burning a restart budget slot
+            while tpulock.preempt_requested() or tpulock.holder():
+                time.sleep(10)
+            print("[supervisor] bench window over — resuming", flush=True)
+            if run_dir is None and run_name:
+                cands = sorted(Path("models").glob(f"*-{run_name}"))
+                if cands:
+                    run_dir = cands[-1]
+            continue
 
         # find the run dir (newest models/<ts>-<run_name>)
         if run_dir is None and run_name:
@@ -146,6 +206,15 @@ def main():
                 print(f"[supervisor] run dir: {run_dir}", flush=True)
         if child.returncode == 0:
             print("[supervisor] training completed", flush=True)
+            return
+        if child.returncode == 17:
+            # Runner.DEAD_SIGNAL_EXIT: the objective provably carries no
+            # gradient (reward identically 0 across rollouts).  Restarting
+            # re-runs the same dead objective — round 2 relaunched four
+            # times without diagnosis; never again.
+            print("[supervisor] FATAL: dead learning signal (rc=17) — "
+                  "NOT restarting; fix the objective and preflight it "
+                  "with tools/preflight_signal.py", flush=True)
             return
         restarts += 1
         if not ping_until_alive():
