@@ -40,13 +40,19 @@ _MINVAL = 1e-15
 # compile-time invweights (MuJoCo mj_setConst equivalents)
 # ---------------------------------------------------------------------------
 
-_INVW_CACHE: dict[int, tuple] = {}
+import weakref as _weakref
+
+# WeakKeyDictionary on the live model, not id(m): id reuse after GC would
+# serve a stale closure (same fix as the solver.py sibling caches)
+_INVW_CACHE: "_weakref.WeakKeyDictionary[PhysicsModel, tuple]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def invweights(m: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
     """(dof_invweight0 (nv,), body_invweight0 (nbody, 2)) at qpos0."""
-    if id(m) in _INVW_CACHE:
-        return _INVW_CACHE[id(m)]
+    if m in _INVW_CACHE:
+        return _INVW_CACHE[m]
     qpos0 = jnp.asarray(m.qpos0)
     qvel0 = jnp.zeros(m.nv)
     kin = fk(m, qpos0, qvel0)
@@ -76,7 +82,7 @@ def invweights(m: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
         Ar = jr.T @ Minv @ jr
         body_invw[b, 0] = np.trace(At) / 3.0
         body_invw[b, 1] = np.trace(Ar) / 3.0
-    _INVW_CACHE[id(m)] = (dof_invw, body_invw)
+    _INVW_CACHE[m] = (dof_invw, body_invw)
     return dof_invw, body_invw
 
 

@@ -66,12 +66,18 @@ class _Levels:
     sub_body: np.ndarray       # (nbody, nbody) subtree: sub[b,d]=1 if d in subtree(b)
 
 
-_LVL_CACHE: dict[int, _Levels] = {}
+import weakref
+
+# WeakKeyDictionary on the live model, not id(m): id reuse after GC would
+# serve a stale closure (same fix as the five sibling caches, ADVICE r1)
+_LVL_CACHE: "weakref.WeakKeyDictionary[PhysicsModel, _Levels]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def tree_levels(m: PhysicsModel) -> _Levels:
-    if id(m) in _LVL_CACHE:
-        return _LVL_CACHE[id(m)]
+    if m in _LVL_CACHE:
+        return _LVL_CACHE[m]
     depth = np.zeros(m.nbody, dtype=int)
     for i in range(1, m.nbody):
         depth[i] = depth[m.body_parentid[i]] + 1
@@ -128,7 +134,7 @@ def tree_levels(m: PhysicsModel) -> _Levels:
         anc_body=anc_body,
         sub_body=sub_body,
     )
-    _LVL_CACHE[id(m)] = lv
+    _LVL_CACHE[m] = lv
     return lv
 
 
@@ -245,12 +251,14 @@ def point_jacobian(m: PhysicsModel, kin: Kin, point: jax.Array, body_id):
     return jac * mask[:, None]
 
 
-_ANC_CACHE: dict[int, np.ndarray] = {}
+_ANC_CACHE: "weakref.WeakKeyDictionary[PhysicsModel, np.ndarray]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def ancestor_dof_mask(m: PhysicsModel) -> np.ndarray:
     """(nbody, nv) bool: dof d affects body b."""
-    key = id(m)
+    key = m
     if key not in _ANC_CACHE:
         mask = np.zeros((m.nbody, m.nv), dtype=bool)
         for b in range(1, m.nbody):
