@@ -71,7 +71,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solver_iterations", type=int, default=None,
                    help="Newton iterations override (default: model opt, 15)")
     p.add_argument("--reward_profile", type=str, default="full",
-                   choices=["full", "locomotion"],
+                   choices=["full", "locomotion", "shaped"],
                    help="'full' is the reference's current reward stack "
                         "(go1_mujoco_env.py:69-89) incl. the fall-recovery "
                         "curriculum channels. 'locomotion' zeroes the "
@@ -82,7 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "while unhealthy pays ~25/step vs ~5.5/step for "
                         "healthy walking, so at gamma=0.99 a collapsed "
                         "policy is the true optimum; every shipped "
-                        "reference artifact predates those channels).")
+                        "reference artifact predates those channels). "
+                        "'shaped' = locomotion + two documented TRAIN-TIME "
+                        "deviations that restore a learnable gradient "
+                        "(VERDICT r2 #1: the locomotion objective is still "
+                        "reward-0 from init — max(0,r-c) floor + dynamic "
+                        "accel cost): signed reward (no floor) and plain "
+                        "qacc2 accel cost. Evals report REFERENCE-semantics "
+                        "reward (runner builds a separate eval env).")
     p.add_argument("--eval_max_time", type=float, default=20.0,
                    help="Simulated seconds per eval episode during "
                         "training (reference show_duration_seconds, "
@@ -113,11 +120,14 @@ def make_env(args):
     from ..env.go1 import Go1Env
 
     extra = {}
-    if getattr(args, "reward_profile", "full") == "locomotion":
+    profile = getattr(args, "reward_profile", "full")
+    if profile in ("locomotion", "shaped"):
         extra = dict(
             rewards=RewardWeights(recovery=0.0, get_up=0.0),
             fallen_start_prob=0.0,
         )
+    if profile == "shaped":
+        extra.update(reward_floor=False, accel_cost_mode="plain")
     if getattr(args, "contact_pools", None):
         extra["contact_pools"] = tuple(
             int(x) for x in args.contact_pools.split(",")

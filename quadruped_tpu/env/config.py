@@ -37,6 +37,12 @@ class CostWeights:
     joint_limit: float = 10.0
     joint_velocity: float = 0.01
     joint_acceleration: float = 2.0e-4
+    # weight for accel_cost_mode="plain" (plain qacc², the formulation
+    # used by the walking-era literature the reference's reward stack
+    # descends from); the reference's "dynamic" qacc²/(|qvel|+1e-6) blows
+    # up ~1e6x at rest and is the measured reason its current objective
+    # cannot bootstrap (VERDICT r2 weak #1)
+    joint_acceleration_plain: float = 2.5e-7
     orientation: float = 1.0
     collision: float = 1.0
     default_joint_position: float = 0.1
@@ -118,6 +124,19 @@ class Go1Config:
     # training-quality runs can trade iterations for throughput after an
     # A/B reward validation (PLAN.md)
     solver_iterations: int | None = None
+
+    # --- train-time shaping deviations (documented; defaults = exact
+    # reference semantics, go1_mujoco_env.py:911/736-751).  The reference's
+    # CURRENT objective provably cannot bootstrap: standing at the home
+    # keyframe with small random actions earns reward exactly 0.0 in both
+    # ctrl modes (the max(0, rewards-costs) floor + the dynamic accel cost
+    # swallow every signal; VERDICT r2 weak #1 verified the mechanism, and
+    # results/parity/ENDORSED_MODELS.md shows no shipped reference artifact
+    # was trained on it either).  Training runs may deviate here; evals and
+    # the parity harness keep reference semantics (learn/runner.py builds a
+    # reference-semantics eval env when these are active).
+    reward_floor: bool = True        # False: signed reward (drop max(0,·))
+    accel_cost_mode: str = "dynamic"  # "dynamic" | "plain" | "off"
 
     frame_skip: int = 10                     # go1_mujoco_env.py:49
     max_episode_time: float = 120.0          # go1_mujoco_env.py:64

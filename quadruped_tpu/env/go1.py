@@ -587,10 +587,23 @@ class Go1Env:
         )
         joint_limit = jnp.sum(out_of_range) * c.joint_limit
         joint_vel = jnp.sum(jnp.square(qvel[6:])) * c.joint_velocity
-        accel = jnp.sum(
-            jnp.square(data.qacc[6:]) / (jnp.abs(qvel[6:]) + 1e-6)
-        )
-        joint_accel = accel * unhealthy_scale * c.joint_acceleration
+        # accel cost: "dynamic" is the reference formula
+        # (go1_mujoco_env.py:736-751); "plain"/"off" are documented
+        # train-time shaping deviations (see config.py) — the dynamic
+        # denominator |qvel|+1e-6 makes the cost explode at rest, which is
+        # half of why the reference's current objective can't bootstrap
+        if cfg.accel_cost_mode == "plain":
+            joint_accel = (
+                jnp.sum(jnp.square(data.qacc[6:]))
+                * unhealthy_scale * c.joint_acceleration_plain
+            )
+        elif cfg.accel_cost_mode == "off":
+            joint_accel = jnp.zeros((), dtype)
+        else:
+            accel = jnp.sum(
+                jnp.square(data.qacc[6:]) / (jnp.abs(qvel[6:]) + 1e-6)
+            )
+            joint_accel = accel * unhealthy_scale * c.joint_acceleration
         # collision: Frobenius norm over the 8 contact bodies -> indicator
         coll = (
             jnp.linalg.norm(data.cfrc_ext[jnp.asarray(CONTACT_BODIES)]) > 0.1
@@ -602,6 +615,12 @@ class Go1Env:
             + joint_vel + joint_accel + coll + unhealthy_cost
         )
 
+        # full per-channel decomposition: a superset of the reference's
+        # reward_info (go1_mujoco_env.py:860-867 emits only 6 keys) — the
+        # extra channels power the launch preflight
+        # (tools/preflight_signal.py), the dead-signal diagnosis
+        # (learn/runner.py) and eval channel metrics; costs are negative,
+        # matching the reference's sign convention
         reward_info = {
             **(
                 {"gait_pattern_reward": gait_r}
@@ -613,6 +632,15 @@ class Go1Env:
             "recovery_reward": recovery,
             "get_up_reward": get_up,
             "unhealthy_state_cost": -unhealthy_cost,
+            "angular_vel_tracking_reward": angular_vel,
+            "feet_airtime_reward": feet_air,
+            "action_rate_cost": -action_rate_cost,
+            "vertical_vel_cost": -vertical,
+            "xy_angular_vel_cost": -xy_ang,
+            "joint_limit_cost": -joint_limit,
+            "joint_velocity_cost": -joint_vel,
+            "joint_acceleration_cost": -joint_accel,
+            "collision_cost": -coll,
         }
 
         if cfg.biped:
@@ -685,7 +713,12 @@ class Go1Env:
                 default_joint_position_cost=-default_pos,
             )
 
-        reward = jnp.maximum(0.0, rewards - costs)
+        raw = rewards - costs
+        # reference floor (go1_mujoco_env.py:911); reward_floor=False is
+        # the train-time shaping deviation that keeps gradient alive when
+        # costs dominate (the floored objective is flat there)
+        reward = jnp.maximum(0.0, raw) if cfg.reward_floor else raw
+        reward_info["reward_raw"] = raw
         return reward, reward_info, new_feet_air_time, new_contacts, new_dev
 
     # -------------------------------------------------------------- autoreset

@@ -304,6 +304,11 @@ class PPO:
             metrics,
             mean_reward=traj.reward.mean(),
             mean_episode_nonterm=1.0 - traj.done.mean(),
+            # dead-signal telemetry (VERDICT r2 #2): identically-zero
+            # rewards across a whole rollout mean zero advantages and a
+            # no-op update — the Runner aborts loudly after K such
+            # iterations instead of burning TPU-hours
+            reward_nonzero_frac=(traj.reward != 0.0).mean(),
         )
         return ts, metrics
 
@@ -324,6 +329,7 @@ class PPO:
             metrics,
             mean_reward=traj.reward.mean(),
             mean_episode_nonterm=1.0 - traj.done.mean(),
+            reward_nonzero_frac=(traj.reward != 0.0).mean(),
         )
         return ts, metrics
 

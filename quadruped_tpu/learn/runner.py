@@ -56,6 +56,12 @@ class RunnerConfig:
     profile_dir: str | None = None
     profile_start_iter: int = 2       # skip compile on iteration 0
     profile_iters: int = 3
+    # dead-signal guard (VERDICT r2 #2): if every reward in the rollout is
+    # identically zero for this many consecutive iterations, advantages are
+    # identically zero and PPO updates are no-ops — abort loudly with the
+    # per-channel reward decomposition instead of burning TPU-hours (round
+    # 2 lost ~5 h to four such runs).  0 disables.
+    dead_signal_iters: int = 10
 
 
 class Runner:
@@ -65,6 +71,18 @@ class Runner:
         self.trainer = trainer or PPO(env, ppo_cfg)
         self.cfg = run_cfg
         self._eval_fn = None
+        # evals keep REFERENCE reward semantics even when training uses
+        # the shaped objective (config.py reward_floor/accel_cost_mode):
+        # eval reward numbers stay comparable to the reference scale and
+        # to runs trained without shaping.  Same physics, same weights —
+        # only the floor and the accel formula are restored.
+        ecfg = env.cfg
+        if not ecfg.reward_floor or ecfg.accel_cost_mode != "dynamic":
+            self.eval_env = Go1Env(dataclasses.replace(
+                ecfg, reward_floor=True, accel_cost_mode="dynamic"
+            ))
+        else:
+            self.eval_env = env
 
     # ------------------------------------------------------------- evaluation
 
@@ -75,7 +93,9 @@ class Runner:
     _EVAL_CHUNK = 25
 
     def _build_eval(self):
-        env, policy = self.env, self.trainer.policy
+        # eval_env, not env: reference reward semantics even when training
+        # uses the shaped objective (see __init__)
+        env, policy = self.eval_env, self.trainer.policy
 
         def body(variables, carry, _):
             state, obs, done, ep_rew, ep_len = carry
@@ -199,6 +219,41 @@ class Runner:
             metrics[f"channel/{k}"] = float((v * valid).sum() / nv)
         return metrics
 
+    # ----------------------------------------------------------- dead signal
+
+    # distinct exit code: the supervisor (tools/train_supervisor.py) treats
+    # it as fatal-do-not-restart (a dead objective stays dead on relaunch)
+    DEAD_SIGNAL_EXIT = 17
+
+    def _dead_signal_abort(self, ts, eval_rng, dead_iters: int):
+        """Every reward in the last `dead_iters` rollouts was exactly 0.0:
+        zero advantages, no-op updates (round 2's four flagship runs, ~5
+        TPU-hours, all had this from iteration 1).  Print the per-channel
+        reward decomposition so the objective can be diagnosed, then exit
+        with a code the supervisor will not restart."""
+        print(
+            f"\nDEAD LEARNING SIGNAL: reward identically 0.0 for "
+            f"{dead_iters} consecutive iterations — PPO updates are no-ops."
+            f"\nPer-channel decomposition from a fresh eval rollout "
+            f"(negative entries are costs; the max(0, rewards-costs) floor "
+            f"swallows the gradient when costs dominate):",
+            flush=True,
+        )
+        try:
+            _, k = jax.random.split(eval_rng)
+            *_rest, out = self.evaluate(ts, k)
+            for key, v in sorted(out["gait_metrics"].items()):
+                if key.startswith("channel/"):
+                    print(f"  {key[8:]:40s} {v:12.4f}", flush=True)
+        except Exception as e:  # diagnosis must not mask the abort
+            print(f"  (channel decomposition failed: {e})", flush=True)
+        print(
+            "Aborting. Preflight new objectives with "
+            "tools/preflight_signal.py before launching.",
+            flush=True,
+        )
+        raise SystemExit(self.DEAD_SIGNAL_EXIT)
+
     # ----------------------------------------------------------------- train
 
     def train(self, seed: int = 0, resume_path: str | None = None,
@@ -244,6 +299,7 @@ class Runner:
         metrics = {}
         iteration = 0
         profiling = False
+        dead_iters = 0  # consecutive identically-zero-reward iterations
 
         while global_step < cfg.total_timesteps:
             # curriculum: linear anneal to 0 over the first 70% of training
@@ -305,6 +361,15 @@ class Runner:
             global_step += steps_per_iter
             step = global_step
             iteration += 1
+
+            # dead-signal guard (VERDICT r2 #2)
+            if cfg.dead_signal_iters:
+                if float(metrics.get("reward_nonzero_frac", 1.0)) == 0.0:
+                    dead_iters += 1
+                else:
+                    dead_iters = 0
+                if dead_iters >= cfg.dead_signal_iters:
+                    self._dead_signal_abort(ts, eval_rng, dead_iters)
 
             if profiling and iteration >= cfg.profile_start_iter + cfg.profile_iters:
                 jax.profiler.stop_trace()

@@ -235,3 +235,63 @@ def test_entry_compiles():
     state, obs, reward = out
     assert obs.shape == (32, 48)
     assert np.isfinite(np.asarray(reward)).all()
+
+
+def test_dead_signal_abort(tmp_path, monkeypatch):
+    """Dead-signal guard (VERDICT r2 #2): an objective whose reward is
+    identically 0.0 (zero advantages -> no-op updates, round 2's four
+    flagship runs) must abort with Runner.DEAD_SIGNAL_EXIT instead of
+    training to the step budget."""
+    from quadruped_tpu.learn.runner import Runner, RunnerConfig
+
+    class ZeroRewardEnv(Go1Env):
+        def _reward(self, *a, **kw):
+            reward, info, *rest = super()._reward(*a, **kw)
+            return jnp.zeros_like(reward), info, *rest
+
+    env = ZeroRewardEnv(Go1Config(ctrl_type="torque"))
+    monkeypatch.chdir(tmp_path)  # run dir/log artifacts into tmp
+    runner = Runner(
+        env,
+        PPOConfig(num_envs=4, n_steps=2, num_minibatches=2, n_epochs=1),
+        RunnerConfig(
+            total_timesteps=200,          # 25 iterations if never aborted
+            dead_signal_iters=2,
+            eval_frequency=10**9,         # never a scheduled eval
+            n_eval_episodes=1,
+            eval_max_time=0.02,           # 1-step diagnosis eval
+            save_videos=False,
+            verbose=False,
+        ),
+    )
+    with pytest.raises(SystemExit) as ex:
+        runner.train(seed=0)
+    assert ex.value.code == Runner.DEAD_SIGNAL_EXIT
+
+
+def test_live_signal_does_not_abort(tmp_path, monkeypatch):
+    """The guard must not trip on a healthy objective (nonzero rewards).
+
+    Uses the shaped profile (reward_floor=False): the reference's floored
+    objective is itself reward-0 from init (VERDICT r2 weak #1) and — as
+    this test originally discovered by tripping on it — correctly aborts."""
+    from quadruped_tpu.learn.runner import Runner, RunnerConfig
+
+    env = Go1Env(Go1Config(ctrl_type="torque", reward_floor=False,
+                           accel_cost_mode="plain"))
+    monkeypatch.chdir(tmp_path)
+    runner = Runner(
+        env,
+        PPOConfig(num_envs=4, n_steps=2, num_minibatches=2, n_epochs=1),
+        RunnerConfig(
+            total_timesteps=32,
+            dead_signal_iters=2,
+            eval_frequency=10**9,
+            n_eval_episodes=1,
+            eval_max_time=0.02,
+            save_videos=False,
+            verbose=False,
+        ),
+    )
+    ts, history, run_dir = runner.train(seed=0)
+    assert ts is not None

@@ -1,24 +1,28 @@
 #!/bin/bash
-# Flagship walking-gait training run (VERDICT r1 #1).
+# Flagship walking-gait training run (VERDICT r1 #1, r2 #1).
 #
-# Locomotion reward profile: the objective the reference's walking-era
-# artifacts were trained on (results/parity/ENDORSED_MODELS.md) — under
-# the full recovery-curriculum stack a collapsed get-up-farming policy is
-# the true optimum at gamma=0.99, in BOTH engines (measured).
+# Recipe (round 3): POSITION control + SHAPED reward profile.
+#   * position control — the reference's default ctrl_type
+#     (/root/reference/train.py:183-188) and the only mode with shipped
+#     48-obs-dim walking artifacts (results/parity/ENDORSED_MODELS.md);
+#   * --reward_profile shaped — locomotion channels (no recovery/get_up
+#     farming) plus two DOCUMENTED train-time deviations that restore a
+#     learnable gradient: signed reward (drop the max(0, r-c) floor,
+#     go1_mujoco_env.py:911) and plain qacc^2 accel cost (the dynamic
+#     qacc^2/(|qvel|+1e-6) form explodes ~1e6x at rest).  Round 2 proved
+#     the reference's current objective is reward-0 from init in both
+#     ctrl modes — four 5-8M-step runs with zero gradient (VERDICT r2
+#     weak #1).  Evals and the gait gate keep REFERENCE reward semantics
+#     (learn/runner.py builds a reference-semantics eval env), so the
+#     reported curves stay comparable.
+#   * --max_unhealthy_time 1.0 — early reset: fallen time carries no
+#     useful gradient; reset into useful states instead.
 #
-# Early termination (--max_unhealthy_time 1.0 vs the reference's 15 s):
-# a fallen robot earns the floored-at-zero reward, so each fallen second
-# is 50 gradient-free samples; terminating after 1 s of continuous
-# unhealthy time resets it into useful states instead.  Eval still
-# requires full 120-s episodes (stricter, not weaker, under early
-# termination) and the regression gate (tests/test_gait_gate.py) scores
-# the artifact under reference 15-s semantics.
-#
-# Massively-parallel regime: 4096 envs x 64-step rollouts, 8 warmstarted
-# Newton iterations (qpos drift vs oracle 1.8e-4 over 300 substeps,
-# PLAN.md A/B), condim row pools, full-horizon eval (120 s) with gait
-# metrics.  Supervised: the axon tunnel can wedge mid-run; the supervisor
-# kills stalls and resumes from the newest checkpoint.
+# The supervisor preflights the objective on CPU before the first launch
+# (tools/preflight_signal.py — refuses reward-density-0 configs), watches
+# for tunnel stalls, resumes from the newest checkpoint, aborts without
+# restart on the Runner's dead-signal exit (rc=17), and yields the chip
+# to bench.py preemption windows (quadruped_tpu/utils/tpulock.py).
 set -x
 cd "$(dirname "$0")/.."
 QTPU_SOLVER_ITERS=8 nohup python tools/train_supervisor.py \
@@ -26,14 +30,15 @@ QTPU_SOLVER_ITERS=8 nohup python tools/train_supervisor.py \
     --stall_minutes 12 \
     -- \
     --num_parallel_envs 4096 --n_steps 64 --num_minibatches 8 --n_epochs 5 \
-    --ctrl_type torque --reward_profile locomotion \
+    --ctrl_type position --reward_profile shaped \
     --max_unhealthy_time 1.0 \
     --contact_pools 8,28,12 \
     --solver_iterations 8 \
+    --rollout_chunk "${QTPU_ROLLOUT_CHUNK:-1}" \
     --eval_frequency 2000000 --video_interval 10000000 \
     --eval_max_time 120 \
     --checkpoint_interval 5000000 \
-    --run_name walk-locomotion \
+    --run_name walk-shaped \
     > /tmp/supervisor_gait.log 2>&1 &
 echo $! > /tmp/supervisor_gait.pid
 echo "supervisor pid $(cat /tmp/supervisor_gait.pid); logs: /tmp/supervisor_gait.log /tmp/supervised_train.log"
