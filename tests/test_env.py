@@ -205,6 +205,7 @@ def _run_parity(env, oracle, n_steps, action_fn, atol_obs=2e-4,
     return state, info
 
 
+@pytest.mark.smoke
 def test_obs_reward_parity(env, oracle_model):
     """State-coupled parity: my env vs numpy oracle over 40 control steps,
     covering healthy standing, walking commands and a fall."""

@@ -8,6 +8,9 @@ the new gait series, without touching a device-heavy env.
 """
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 from quadruped_tpu.checkpoint import TrainingHistory
 from quadruped_tpu.learn.runner import Runner

@@ -6,6 +6,9 @@ semantics before any dynamics code runs on top of it.
 """
 
 import mujoco
+import pytest
+
+pytestmark = pytest.mark.smoke
 import numpy as np
 import pytest
 

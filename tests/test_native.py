@@ -1,6 +1,9 @@
 """Native trajectory spool (C++/ctypes) tests."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_trajlog_roundtrip(tmp_path):
