@@ -253,6 +253,13 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # persistent XLA compile cache: axon/TPU compiles of the fused
+    # physics+train programs take minutes, and the supervisor relaunches
+    # this CLI on every stall-resume — without the cache each resume
+    # repays the full compile
+    from ..utils import cache as _cache
+
+    _cache.enable()
     args = build_parser().parse_args(argv)
     if args.run == "train":
         run_train(args)
