@@ -89,8 +89,12 @@ class Runner:
     # Single XLA programs that execute longer than a few seconds crash the
     # axon TPU worker, so the eval episode is dispatched as short jitted
     # chunks from the host — the same treatment the training rollout gets
-    # via PPOConfig.rollout_chunk.
-    _EVAL_CHUNK = 25
+    # via PPOConfig.rollout_chunk.  Tunable: eval batches are tiny (2
+    # envs), so per-program execution is milliseconds and the tunnel's
+    # per-dispatch round-trip dominates; a 6000-step full-horizon eval at
+    # chunk 25 is 240 sequential round-trips.  Larger chunks stay well
+    # under the runtime's execution ceiling at eval batch sizes.
+    _EVAL_CHUNK = int(__import__("os").environ.get("QTPU_EVAL_CHUNK", "25"))
 
     def _build_eval(self):
         # eval_env, not env: reference reward semantics even when training
@@ -439,7 +443,16 @@ class Runner:
                 if is_best:
                     ckpt.save_policy(
                         run_dir / "best_model", ts.params,
-                        {"global_step": step, "mean_reward": mean_rew},
+                        {
+                            "global_step": step,
+                            "mean_reward": mean_rew,
+                            # self-describing artifact: consumers (gait
+                            # gate, --run test) must rebuild the SAME env
+                            "ctrl_type": self.env.cfg.ctrl_type,
+                            "robot": getattr(self.env.cfg, "robot", "go1"),
+                            "biped": bool(self.env.cfg.biped),
+                            "gait_metrics": gait,
+                        },
                     )
                 if cfg.verbose:
                     sps = step / max(time.time() - t_start, 1e-9)

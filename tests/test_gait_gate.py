@@ -24,14 +24,20 @@ ARTIFACT = pathlib.Path(__file__).parent.parent / "results" / "walk_policy"
     reason="walking artifact not committed yet (flagship run pending)",
 )
 def test_committed_policy_still_walks():
+    import json
+
     from quadruped_tpu.checkpoint import load_policy
     from quadruped_tpu.env.config import Go1Config, RewardWeights
     from quadruped_tpu.env.go1 import Go1Env
     from quadruped_tpu.learn.ppo import PPO, PPOConfig
     from quadruped_tpu.learn.runner import Runner, RunnerConfig
 
+    # the artifact's metadata records the ctrl_type it was trained with
+    # (a position-control policy rolled in a torque env is garbage);
+    # reward semantics in the eval env are ALWAYS the reference's
+    meta = json.loads((ARTIFACT / "metadata.json").read_text())
     env = Go1Env(Go1Config(
-        ctrl_type="torque",
+        ctrl_type=meta.get("ctrl_type", "position"),
         rewards=RewardWeights(recovery=0.0, get_up=0.0),
         fallen_start_prob=0.0,
     ))
