@@ -161,7 +161,12 @@ class PPO:
             terminated=terminated,
             done=done,
             bootstrap_value=bootstrap.astype(jnp.float32),
-            info=info,
+            # the rest of info (~25 per-step reward/diagnostic channels) is
+            # never consumed by the update — stacking it across the scan
+            # would make every rollout program materialize and return
+            # n_steps x num_envs x 25 floats of dead weight (the eval path
+            # surfaces the channel decomposition instead)
+            info=None,
         )
         ts = dataclasses.replace(
             ts, env_state=env_state, obs=obs.astype(jnp.float32), rng=rng,

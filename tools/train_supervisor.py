@@ -49,6 +49,27 @@ def newest_checkpoint(run_dir: Path) -> Path | None:
     return max(cands)[1] if cands else None
 
 
+def newest_checkpoint_for_run(run_name: str | None) -> Path | None:
+    """Globally newest checkpoint across ALL segments of a supervised run.
+
+    Every launch of the training CLI creates a fresh timestamped dir under
+    models/ (learn/runner.py), so a run that stalls twice has checkpoints
+    spread over several dirs — resuming from the first-discovered dir
+    (the pre-round-3 behavior) silently rewinds to segment 1's newest
+    checkpoint on the second stall.  Scan every matching dir and pick the
+    checkpoint with the highest recorded global_step."""
+    if not run_name:
+        return None
+    best: tuple[int, Path] | None = None
+    for d in Path("models").glob(f"*-{run_name}"):
+        c = newest_checkpoint(d)
+        if c is not None:
+            step = global_step_of(c)
+            if best is None or step > best[0]:
+                best = (step, c)
+    return best[1] if best else None
+
+
 def global_step_of(ckpt: Path | None) -> int:
     if ckpt is None:
         return 0
@@ -121,9 +142,8 @@ def main():
         run_name = extra[extra.index("--run_name") + 1]
 
     restarts = 0
-    run_dir: Path | None = None
     while restarts <= args.max_restarts:
-        resume = newest_checkpoint(run_dir) if run_dir else None
+        resume = newest_checkpoint_for_run(run_name)
         done = global_step_of(resume)
         if done >= args.total_timesteps:
             print(f"[supervisor] target reached: {done:,}", flush=True)
@@ -192,18 +212,8 @@ def main():
             while tpulock.preempt_requested() or tpulock.holder():
                 time.sleep(10)
             print("[supervisor] bench window over — resuming", flush=True)
-            if run_dir is None and run_name:
-                cands = sorted(Path("models").glob(f"*-{run_name}"))
-                if cands:
-                    run_dir = cands[-1]
             continue
 
-        # find the run dir (newest models/<ts>-<run_name>)
-        if run_dir is None and run_name:
-            cands = sorted(Path("models").glob(f"*-{run_name}"))
-            if cands:
-                run_dir = cands[-1]
-                print(f"[supervisor] run dir: {run_dir}", flush=True)
         if child.returncode == 0:
             print("[supervisor] training completed", flush=True)
             return
