@@ -53,7 +53,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Rollout length per env per PPO iteration.")
     p.add_argument("--num_minibatches", type=int, default=32)
     p.add_argument("--n_epochs", type=int, default=10)
-    p.add_argument("--collision", type=str, default="plane",
+    # default "full" = the reference's collision semantics (every geom has
+    # contype/conaffinity 1, so self-pairs are live).  It is ALSO 8.5x
+    # faster on TPU than "plane": the plane-only table's ~13-candidate
+    # assemble lowers to tiny sublane-misaligned ops (745 vs 6,390
+    # steps/s, tools/dispatch_probe3.py A/B) — and contact pools are
+    # only available for the full table.  Round 2's 4.5x train-vs-bench
+    # throughput gap was exactly this flag: the CLI defaulted to "plane"
+    # while the bench measured "full".
+    p.add_argument("--collision", type=str, default="full",
                    choices=["plane", "full"])
     p.add_argument("--no_videos", action="store_true")
     p.add_argument("--checkpoint_interval", type=int, default=500_000)

@@ -92,6 +92,16 @@ class Go1Env:
         if cfg.biped and mode == "plane":
             mode = "full"  # self-collision costs need self pairs
         pools = None
+        if cfg.contact_pools is not None and mode != "full":
+            # round 2's flagship runs silently lost the pooled layout (and
+            # its +26% measured throughput) this way — never again quietly
+            import warnings
+
+            warnings.warn(
+                "contact_pools requires collision_mode='full'; ignoring "
+                f"pools in {mode!r} mode",
+                stacklevel=2,
+            )
         if cfg.contact_pools is not None and mode == "full":
             if len(cfg.contact_pools) != 3:
                 raise ValueError(

@@ -34,9 +34,9 @@ QTPU_SOLVER_ITERS=8 QTPU_EVAL_CHUNK=100 nohup python tools/train_supervisor.py \
     --max_unhealthy_time 1.0 \
     --contact_pools 8,28,12 \
     --solver_iterations 8 \
-    --rollout_chunk "${QTPU_ROLLOUT_CHUNK:-8}" \
+    --rollout_chunk "${QTPU_ROLLOUT_CHUNK:-2}" \
     --eval_frequency 2000000 --video_interval 10000000 \
-    --eval_max_time 60 \
+    --eval_max_time 30 \
     --checkpoint_interval 5000000 \
     --run_name walk-shaped \
     > /tmp/supervisor_gait.log 2>&1 &
