@@ -119,11 +119,19 @@ def run_qtpu(args):
     eval_rng = jax.random.PRNGKey(args.seed + 1)
     hist = []
     steps = 0
+    it = 0
     t0 = time.time()
     while steps < args.total_steps:
         ts, metrics = trainer.train_iteration_chunked(ts)
         mean_r = float(jax.device_get(metrics["mean_reward"]))
         steps += batch
+        it += 1
+        # small-batch eval episodes are latency-bound (~43 ms/control-step
+        # regardless of batch), so per-iteration evals would cost ~45 min
+        # per 2M-step side on-chip; thin them (the compare statement uses
+        # final-quarter MEANS of eval points, which thinning preserves)
+        if it % max(1, args.eval_every) and steps < args.total_steps:
+            continue
         eval_rng, k = jax.random.split(eval_rng)
         ep_rew, ep_len, _succ, out = runner.evaluate(ts, k)
         g = out["gait_metrics"]
@@ -201,6 +209,10 @@ def main():
     p.add_argument("--reward_profile", default="full",
                    choices=["full", "locomotion"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_every", type=int, default=1,
+                   help="qtpu side: evaluate every Nth iteration (the "
+                        "reference side keeps per-iteration evals; compare "
+                        "uses final-quarter means, which thinning preserves)")
     args = p.parse_args()
     if args.side == "reference":
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
