@@ -105,10 +105,28 @@ class TrainingHistory:
 
     def __init__(self):
         self.best_reward = -float("inf")
+        # best-model selection score: defaults to the eval reward
+        # (reference semantics, training_callback.py:470-491), but the
+        # Runner may pass a gait score instead — under reference reward
+        # semantics the max(0, r-c) floor makes every eval reward of an
+        # early policy exactly 0.0, so reward-ranked "best" degenerates
+        # to "first" (round-3 finding: a 26M-step run whose best_model
+        # was frozen at the 262k-step eval)
+        self.best_score = -float("inf")
+        # which metric produced best_score ("reward" | "gait"); on resume
+        # under a different metric the score restarts from -inf — scores
+        # from different metrics are not comparable
+        self.score_metric = "reward"
         self.series = {k: [] for k in self.FIELDS}
         self.gait = {k: [] for k in self.GAIT_FIELDS}
 
-    def append(self, timestep, reward, length, success, gait_metrics=None):
+    def set_score_metric(self, metric: str):
+        if metric != self.score_metric:
+            self.score_metric = metric
+            self.best_score = -float("inf")
+
+    def append(self, timestep, reward, length, success, gait_metrics=None,
+               score=None):
         self.series["timesteps"].append(int(timestep))
         self.series["rewards"].append(float(reward))
         self.series["lengths"].append(float(length))
@@ -119,11 +137,16 @@ class TrainingHistory:
                     self.gait[k].append(float(gait_metrics[k]))
         if reward > self.best_reward:
             self.best_reward = float(reward)
+        s = float(reward if score is None else score)
+        if s > self.best_score:
+            self.best_score = s
             return True
         return False
 
     def save(self, path):
-        payload = {"best_reward": self.best_reward, **self.series,
+        payload = {"best_reward": self.best_reward,
+                   "best_score": self.best_score,
+                   "score_metric": self.score_metric, **self.series,
                    "gait": self.gait}
         _as_path(path).write_text(json.dumps(payload, indent=1))
 
@@ -132,6 +155,10 @@ class TrainingHistory:
         h = TrainingHistory()
         payload = json.loads(_as_path(path).read_text())
         h.best_reward = payload.get("best_reward", -float("inf"))
+        h.best_score = payload.get(
+            "best_score", payload.get("best_reward", -float("inf"))
+        )
+        h.score_metric = payload.get("score_metric", "reward")
         for k in TrainingHistory.FIELDS:
             h.series[k] = list(payload.get(k, []))
         for k in TrainingHistory.GAIT_FIELDS:

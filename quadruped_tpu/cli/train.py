@@ -98,6 +98,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "accel cost): signed reward (no floor) and plain "
                         "qacc2 accel cost. Evals report REFERENCE-semantics "
                         "reward (runner builds a separate eval env).")
+    p.add_argument("--action_mode", type=str, default="raw",
+                   choices=["raw", "centered"],
+                   help="'raw' = reference semantics (action IS the "
+                        "actuator ctrl; in position mode action=0 targets "
+                        "straight legs -> collapse). 'centered' = ctrl is "
+                        "re-based at the home keyframe (key_ctrl + "
+                        "action_scale*action) so action=0 stands — the "
+                        "walking-era parameterization; recorded in "
+                        "checkpoint metadata and honored by --run test.")
+    p.add_argument("--action_scale", type=float, default=0.3,
+                   help="rad around key_ctrl for --action_mode centered")
     p.add_argument("--eval_max_time", type=float, default=20.0,
                    help="Simulated seconds per eval episode during "
                         "training (reference show_duration_seconds, "
@@ -116,6 +127,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "reset densifies the learning signal without "
                         "touching the reward function. Default: reference "
                         "semantics (15 s).")
+    p.add_argument("--best_metric", type=str, default="reward",
+                   choices=["reward", "gait"],
+                   help="best_model ranking: 'reward' = eval mean reward "
+                        "(reference semantics). 'gait' = healthy_frac - "
+                        "tracking_error; use when evals run under the "
+                        "reference reward floor, where early eval rewards "
+                        "are all exactly 0.0 and reward-ranked best "
+                        "degenerates to 'first eval wins'.")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="Capture a jax.profiler trace of a few training "
                         "iterations to this directory (view with "
@@ -142,6 +161,9 @@ def make_env(args):
         )
     if getattr(args, "max_unhealthy_time", None) is not None:
         extra["max_unhealthy_time"] = args.max_unhealthy_time
+    if getattr(args, "action_mode", "raw") != "raw":
+        extra["action_mode"] = args.action_mode
+        extra["action_scale"] = args.action_scale
     cfg = Go1Config(
         robot=getattr(args, "robot", "go1"),
         ctrl_type=args.ctrl_type,
@@ -182,6 +204,7 @@ def run_train(args):
         checkpoint_interval=args.checkpoint_interval,
         profile_dir=args.profile_dir,
         eval_max_time=args.eval_max_time,
+        best_metric=args.best_metric,
     )
     runner = Runner(env, ppo_cfg, run_cfg)
     print(
@@ -206,6 +229,17 @@ def run_test(args):
 
     if not args.model_path:
         raise SystemExit("--run test requires --model_path")
+    # self-describing artifacts: the checkpoint metadata records the
+    # policy<->env interface it was trained with (ctrl_type/action_mode);
+    # honor it unless the user explicitly overrode the flags
+    import json
+
+    mp = Path(args.model_path) / "metadata.json"
+    if mp.exists():
+        meta0 = json.loads(mp.read_text())
+        for k in ("ctrl_type", "action_mode", "action_scale", "robot"):
+            if k in meta0:
+                setattr(args, k, meta0[k])
     env = make_env(args)
     runner = Runner(
         env,

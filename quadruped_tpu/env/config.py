@@ -137,6 +137,20 @@ class Go1Config:
     # reference-semantics eval env when these are active).
     reward_floor: bool = True        # False: signed reward (drop max(0,·))
     accel_cost_mode: str = "dynamic"  # "dynamic" | "plain" | "off"
+    # Action parameterization.  "raw" = reference semantics: the policy
+    # action IS the actuator ctrl (go1_mujoco_env.py passes the action
+    # straight to do_simulation), so in position mode action=0 targets
+    # all-zero joint angles — straight legs, instant collapse (measured:
+    # zero-action z 0.30->0.06 in 2 s).  "centered" re-bases the ctrl at
+    # the home keyframe: ctrl = key_ctrl + action_scale * action, the
+    # standard parameterization of the walking-era recipes this task
+    # descends from — action=0 stands (measured: holds z=0.26 with
+    # POSITIVE shaped reward indefinitely), so PPO explores around
+    # standing instead of around collapse.  Part of the policy<->env
+    # interface, not reward semantics: checkpoints record it and evals
+    # keep it while restoring reference reward semantics.
+    action_mode: str = "raw"          # "raw" | "centered"
+    action_scale: float = 0.3         # rad around key_ctrl ("centered")
 
     frame_skip: int = 10                     # go1_mujoco_env.py:49
     max_episode_time: float = 120.0          # go1_mujoco_env.py:64

@@ -417,9 +417,21 @@ class Go1Env:
             action_buf = state.action_buf
             applied = action.astype(dtype)
 
+        # action_mode="centered": ctrl re-based at the home keyframe (see
+        # config.py) — the transform sits between the policy and the
+        # actuators only; reward/obs/last_action all still see the policy
+        # action, and actuation clamps ctrl to ctrlrange downstream
+        if cfg.action_mode == "centered":
+            ctrl = (
+                jnp.asarray(self.default_joint_position, dtype)
+                + cfg.action_scale * applied
+            )
+        else:
+            ctrl = applied
+
         qpos, qvel, data = step_n(
             self.pipeline, state.params, state.qpos, state.qvel,
-            applied, cfg.frame_skip, warmstart=state.qacc_warm,
+            ctrl, cfg.frame_skip, warmstart=state.qacc_warm,
         )
 
         healthy, reason = self._health(qpos, qvel)

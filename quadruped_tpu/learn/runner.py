@@ -56,6 +56,15 @@ class RunnerConfig:
     profile_dir: str | None = None
     profile_start_iter: int = 2       # skip compile on iteration 0
     profile_iters: int = 3
+    # best-model ranking: "reward" = eval mean reward (reference
+    # semantics, training_callback.py:470-491).  "gait" = healthy_frac
+    # minus tracking_error — use for runs evaluated under the reference
+    # reward floor, where every early eval reward is exactly 0.0 and
+    # reward-ranked "best" degenerates to "first eval wins" (round-3
+    # finding; see checkpoint.TrainingHistory).  The gait score rises
+    # monotonically toward the tests/test_gait_gate.py bar (healthy>=0.8,
+    # tracking<=0.15 -> score>=0.65).
+    best_metric: str = "reward"
     # dead-signal guard (VERDICT r2 #2): if every reward in the rollout is
     # identically zero for this many consecutive iterations, advantages are
     # identically zero and PPO updates are no-ops — abort loudly with the
@@ -282,6 +291,7 @@ class Runner:
                 history = ckpt.TrainingHistory.load(hist_path)
                 if cfg.verbose:
                     print(f"resumed history from {hist_path}")
+        history.set_score_metric(cfg.best_metric)
 
         writer = None
         try:
@@ -418,9 +428,13 @@ class Runner:
                     print(f"  trajectory spool failed: {e}")
                 mean_rew = float(ep_rew.mean())
                 gait = out["gait_metrics"]
+                score = (
+                    gait["healthy_frac"] - gait["tracking_error"]
+                    if cfg.best_metric == "gait" else mean_rew
+                )
                 is_best = history.append(
                     step, mean_rew, float(ep_len.mean()), bool(success.any()),
-                    gait_metrics=gait,
+                    gait_metrics=gait, score=score,
                 )
                 history.save(run_dir / "training_history.json")
                 plots.save_progress_plot(history, "training_progress.png")
@@ -446,9 +460,17 @@ class Runner:
                         {
                             "global_step": step,
                             "mean_reward": mean_rew,
+                            "best_metric": cfg.best_metric,
+                            "score": float(score),
                             # self-describing artifact: consumers (gait
                             # gate, --run test) must rebuild the SAME env
                             "ctrl_type": self.env.cfg.ctrl_type,
+                            "action_mode": getattr(
+                                self.env.cfg, "action_mode", "raw"
+                            ),
+                            "action_scale": float(getattr(
+                                self.env.cfg, "action_scale", 0.3
+                            )),
                             "robot": getattr(self.env.cfg, "robot", "go1"),
                             "biped": bool(self.env.cfg.biped),
                             "gait_metrics": gait,

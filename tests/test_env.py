@@ -487,3 +487,42 @@ def test_actuator_latency_dr():
         np.testing.assert_allclose(
             np.asarray(s_d.qvel), np.asarray(s_ref.qvel), atol=1e-12,
         )
+
+
+def test_action_mode_centered():
+    """action_mode='centered' re-bases ctrl at the home keyframe
+    (config.py action_mode): zero action must HOLD the home stance in
+    position mode, while the reference 'raw' parameterization collapses
+    (action=0 targets all-zero joint angles = straight legs).  Also pins
+    the transform itself: a centered action a must produce the same
+    physics as the raw ctrl key_ctrl + scale*a."""
+    mk = lambda mode: Go1Env(Go1Config(
+        ctrl_type="position", action_mode=mode, action_scale=0.3,
+        fallen_start_prob=0.0,
+    ))
+    env_c, env_r = mk("centered"), mk("raw")
+    zeros = jnp.zeros(12)
+    key = jax.random.PRNGKey(7)
+
+    # transform equivalence: one step from the same state
+    s_c = env_c.reset(key)
+    s_r = env_r.reset(key)
+    a = 0.1 * jnp.arange(12, dtype=jnp.float32)
+    raw_ctrl = jnp.asarray(env_c.default_joint_position, jnp.float32) + 0.3 * a
+    n_c, *_ = jax.jit(env_c.step)(s_c, a)
+    n_r, *_ = jax.jit(env_r.step)(s_r, raw_ctrl)
+    np.testing.assert_allclose(
+        np.asarray(n_c.qpos), np.asarray(n_r.qpos), atol=1e-12,
+        err_msg="centered step != raw step at the equivalent ctrl",
+    )
+
+    # stance: zero action holds home (z stays near 0.27) for 2.4 s in
+    # centered mode; raw collapses through the healthy_z floor (0.22)
+    step_c = jax.jit(env_c.step)
+    step_r = jax.jit(env_r.step)
+    s_c, s_r = env_c.reset(key), env_r.reset(key)
+    for _ in range(120):
+        s_c, *_ = step_c(s_c, zeros)
+        s_r, *_ = step_r(s_r, zeros)
+    assert float(s_c.qpos[2]) > 0.24, "centered zero-action must stand"
+    assert float(s_r.qpos[2]) < 0.22, "raw zero-action should collapse"

@@ -122,6 +122,49 @@ def test_progress_plot(tmp_path):
     assert Path(out).stat().st_size > 1000
 
 
+def test_history_best_score(tmp_path):
+    """Gait-scored best-model ranking (round-3 fix: under the reference
+    reward floor every early eval reward is exactly 0.0, so reward-ranked
+    'best' degenerates to 'first eval wins')."""
+    from quadruped_tpu.checkpoint import TrainingHistory
+
+    # reward-ranked (default): all-zero rewards -> only the first is best
+    h = TrainingHistory()
+    assert h.append(1000, 0.0, 100, False) is True
+    assert h.append(2000, 0.0, 120, False) is False
+
+    # gait-scored: improving healthy/tracking wins even at reward 0.0
+    h = TrainingHistory()
+    h.set_score_metric("gait")
+    g1 = {"healthy_frac": 0.3, "tracking_error": 0.9, "distance": 0.1}
+    g2 = {"healthy_frac": 0.8, "tracking_error": 0.2, "distance": 1.0}
+    assert h.append(1000, 0.0, 100, False, gait_metrics=g1,
+                    score=g1["healthy_frac"] - g1["tracking_error"]) is True
+    assert h.append(2000, 0.0, 120, False, gait_metrics=g2,
+                    score=g2["healthy_frac"] - g2["tracking_error"]) is True
+    assert h.append(3000, 0.0, 120, False, gait_metrics=g1,
+                    score=g1["healthy_frac"] - g1["tracking_error"]) is False
+    assert h.best_score == pytest.approx(0.6)
+    # eval reward still tracked for display parity
+    assert h.best_reward == 0.0
+
+    # round-trips through save/load; switching metric resets the score
+    h.save(tmp_path / "h.json")
+    h2 = TrainingHistory.load(tmp_path / "h.json")
+    assert h2.best_score == pytest.approx(0.6)
+    assert h2.score_metric == "gait"
+    h2.set_score_metric("reward")
+    assert h2.best_score == -float("inf")
+    # old-format files (no score fields) load as reward-scored
+    import json
+
+    payload = json.loads((tmp_path / "h.json").read_text())
+    del payload["best_score"], payload["score_metric"]
+    (tmp_path / "old.json").write_text(json.dumps(payload))
+    h3 = TrainingHistory.load(tmp_path / "old.json")
+    assert h3.score_metric == "reward" and h3.best_score == 0.0
+
+
 def test_termination_histogram():
     from quadruped_tpu.viz.plots import (
         format_termination_table, termination_histogram,

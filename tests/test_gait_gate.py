@@ -38,6 +38,8 @@ def test_committed_policy_still_walks():
     meta = json.loads((ARTIFACT / "metadata.json").read_text())
     env = Go1Env(Go1Config(
         ctrl_type=meta.get("ctrl_type", "position"),
+        action_mode=meta.get("action_mode", "raw"),
+        action_scale=meta.get("action_scale", 0.3),
         rewards=RewardWeights(recovery=0.0, get_up=0.0),
         fallen_start_prob=0.0,
     ))

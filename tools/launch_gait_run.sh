@@ -17,6 +17,14 @@
 #     reported curves stay comparable.
 #   * --max_unhealthy_time 1.0 — early reset: fallen time carries no
 #     useful gradient; reset into useful states instead.
+#   * --action_mode centered — ctrl re-based at the home keyframe
+#     (key_ctrl + 0.3*action).  The first 60M-step shaped run plateaued
+#     at healthy_frac 0.42 from iteration 1: under the reference's raw
+#     parameterization action=0 targets straight legs, so the policy
+#     explores around collapse (zero-action probe: z 0.30->0.06 in 2 s,
+#     terminated t=100; home-target probe: stands indefinitely at
+#     POSITIVE shaped reward +2.6/step).  Centered puts the Gaussian
+#     init exactly on the standing fixed point.
 #
 # The supervisor preflights the objective on CPU before the first launch
 # (tools/preflight_signal.py — refuses reward-density-0 configs), watches
@@ -31,6 +39,8 @@ QTPU_SOLVER_ITERS=8 QTPU_EVAL_CHUNK=100 nohup python tools/train_supervisor.py \
     -- \
     --num_parallel_envs 4096 --n_steps 64 --num_minibatches 8 --n_epochs 5 \
     --ctrl_type position --reward_profile shaped \
+    --action_mode centered \
+    --best_metric gait \
     --max_unhealthy_time 1.0 \
     --contact_pools 8,28,12 \
     --solver_iterations 8 \
@@ -38,7 +48,7 @@ QTPU_SOLVER_ITERS=8 QTPU_EVAL_CHUNK=100 nohup python tools/train_supervisor.py \
     --eval_frequency 2000000 --video_interval 10000000 \
     --eval_max_time 30 \
     --checkpoint_interval 5000000 \
-    --run_name walk-shaped \
+    --run_name "${QTPU_RUN_NAME:-walk-centered}" \
     > /tmp/supervisor_gait.log 2>&1 &
 echo $! > /tmp/supervisor_gait.pid
 echo "supervisor pid $(cat /tmp/supervisor_gait.pid); logs: /tmp/supervisor_gait.log /tmp/supervised_train.log"

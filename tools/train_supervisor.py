@@ -107,6 +107,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--total_timesteps", type=int, required=True)
     p.add_argument("--stall_minutes", type=float, default=12.0)
+    p.add_argument("--compile_grace_minutes", type=float, default=45.0,
+                   help="Stall threshold before the segment's FIRST "
+                        "iteration line: a cold XLA compile of the fused "
+                        "rollout+update programs is 20-40 min of silence, "
+                        "and killing it mid-compile caches nothing — the "
+                        "12-min threshold turned one cold compile into an "
+                        "infinite kill/recompile loop (round 3).")
     p.add_argument("--max_restarts", type=int, default=30)
     p.add_argument("--log", default="/tmp/supervised_train.log")
     p.add_argument("--no_preflight", action="store_true",
@@ -167,11 +174,13 @@ def main():
         print(f"[supervisor] launch (resume={resume}): {' '.join(cmd)}",
               flush=True)
         log = open(args.log, "ab")
+        seg_start = os.path.getsize(args.log)
         child = subprocess.Popen(
             cmd, stdout=log, stderr=subprocess.STDOUT, cwd=REPO,
             start_new_session=True,
         )
         preempted = False
+        iterating = False   # this segment printed an iteration line yet?
         try:
             while True:
                 time.sleep(20)
@@ -179,6 +188,14 @@ def main():
                     print(f"[supervisor] child exited rc={child.returncode}",
                           flush=True)
                     break
+                if not iterating:
+                    # cheap scan of only this segment's log region
+                    try:
+                        with open(args.log, "rb") as lf:
+                            lf.seek(seg_start)
+                            iterating = b"iter " in lf.read()
+                    except OSError:
+                        pass
                 if tpulock.preempt_requested():
                     # bench wants the chip: kill the segment (it resumes
                     # from the newest checkpoint afterwards) and yield
@@ -192,8 +209,11 @@ def main():
                     preempted = True
                     break
                 age = time.time() - os.path.getmtime(args.log)
-                if age > args.stall_minutes * 60:
-                    print(f"[supervisor] stall: log idle {age/60:.1f} min — "
+                limit = (args.stall_minutes if iterating
+                         else args.compile_grace_minutes)
+                if age > limit * 60:
+                    print(f"[supervisor] stall: log idle {age/60:.1f} min "
+                          f"(limit {limit:g}, iterating={iterating}) — "
                           "killing child", flush=True)
                     os.killpg(child.pid, signal.SIGKILL)
                     try:
