@@ -30,9 +30,11 @@ contact capacity on the Go1 full-collision table).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -116,10 +118,86 @@ def _cho_solve(L, g, nv):
     return jnp.concatenate(x, axis=0)
 
 
+def _grp_of(nv):
+    """Envs per MXU pack group: nv dofs each, filling <=126 of 128 lanes."""
+    return max(1, 126 // nv)
+
+
+def _ngroups(nv):
+    grp = _grp_of(nv)
+    return -(-BLK // grp)
+
+
+@functools.lru_cache(maxsize=None)
+def _mxu_consts(nv):
+    """One-hot selection constants for the MXU-packed Gram (PLAN lever 3).
+
+    Layout: a pack group g holds GRP consecutive envs (e = 0..GRP-1, env
+    b = GRP*g + e) with packed column c = nv*e + j for dof j — GRP*nv
+    (<= 126) used lanes of 128.  Three constants drive the pipeline:
+
+      E[g]   (128, 128): lane-broadcast   Wp = w @ E[g]
+                         (per-env scalar -> that env's nv columns)
+      W0     (128, nv*128): Gram-block scatter  HH = Y @ W0
+                         (packed column nv*e+j -> output lane 128*j + e;
+                          the +GRP*g group shift is a pltpu.roll, whose
+                          tile-boundary spill only ever moves zeros:
+                          GRP*g + e <= 132 and lanes >= 128 are zeroed
+                          in the pack)
+      maskY  (GRP, 128): lane masks [nv*e, nv*e+nv) for the block-diag
+                         row compression Y = sum_e G[nv*e:nv*e+nv] * m_e
+    """
+    grp, G = _grp_of(nv), _ngroups(nv)
+    E = np.zeros((G, 128, 128), np.float32)
+    for g in range(G):
+        for e in range(grp):
+            b = grp * g + e
+            if b < BLK:
+                E[g, b, nv * e : nv * e + nv] = 1.0
+    W0 = np.zeros((128, nv * 128), np.float32)
+    for e in range(grp):
+        for j in range(nv):
+            W0[nv * e + j, 128 * j + e] = 1.0
+    maskY = np.zeros((grp, 128), np.float32)
+    for e in range(grp):
+        maskY[e, nv * e : nv * e + nv] = 1.0
+    return E, W0, maskY
+
+
+def _gram_precision():
+    name = os.environ.get("QTPU_GRAM_PRECISION", "highest")
+    return jax.lax.Precision(
+        {"default": "default", "high": "high", "highest": "highest"}[name]
+    )
+
+
+def _pack_groups(J_bf, nv):
+    """XLA-side env pack: J (B, ne, nv) -> Jpack (G, ne, B//BLK * 128).
+
+    Jpack[g, r, 128*blk + nv*e + j] = J[128*blk + GRP*g + e, r, j]; slots
+    whose env index exceeds the block (GRP*G can overhang BLK by a few)
+    are zeroed so their Gram contribution vanishes instead of aliasing."""
+    B, ne, nvd = J_bf.shape
+    grp, G = _grp_of(nv), _ngroups(nv)
+    nblk = B // BLK
+    X = J_bf.reshape(nblk, BLK, ne, nvd)
+    env = np.arange(G)[:, None] * grp + np.arange(grp)[None, :]  # (G, grp)
+    valid = jnp.asarray((env < BLK).astype(np.float32))
+    idx = jnp.asarray(np.clip(env, 0, BLK - 1).reshape(-1))
+    Y = jnp.take(X, idx, axis=1).reshape(nblk, G, grp, ne, nvd)
+    Y = Y * valid[None, :, :, None, None]
+    Y = jnp.transpose(Y, (1, 3, 0, 2, 4))            # (G, ne, nblk, grp, nv)
+    Y = Y.reshape(G, ne, nblk, grp * nvd)
+    pad = 128 - grp * nvd
+    if pad:
+        Y = jnp.pad(Y, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    return Y.reshape(G, ne, nblk * 128)
+
+
 def newton_core(
     M, qs, warm, J, aref, D, R, floss, active,
     scale, fscale, maskd, conact, Rn, mu,
-    *, nv, nf, nl, K, iterations, pool_dims=None,
+    *, nv, nf, nl, K, iterations, pool_dims=None, mxu=None,
 ):
     """Batch-LAST Newton solve on plain jnp arrays.
 
@@ -279,19 +357,58 @@ def newton_core(
         if have_U:
             Us = jnp.concatenate(U_rows, axis=0)   # (3*K_fric, nv, B)
             wU = jnp.concatenate(wU_rows, axis=0)  # (3*K_fric, B)
-        cols = [[None] * nv for _ in range(nv)]
-        for i in range(nv):
-            Ji_w = J[:, i, :] * w
-            Ui_w = Us[:, i, :] * wU if have_U else None
-            for j2 in range(i, nv):
-                hij = _s2(Ji_w * J[:, j2, :])
-                if have_U:
-                    hij = hij + _s2(Ui_w * Us[:, j2, :])
-                cols[i][j2] = hij
-                cols[j2][i] = hij
-        H = jnp.stack(
-            [jnp.concatenate(cols[i], axis=0) for i in range(nv)], axis=0
-        ) + M + 1e-10 * eye3                            # (nv, nv, B)
+        if mxu is not None:
+            # MXU-packed J-part Gram (PLAN lever 3): the env batch and dof
+            # index share the lane axis (GRP envs x nv dofs <= 126 lanes)
+            # so J^T diag(w) J runs as matmuls instead of nv(nv+1)/2
+            # VPU row-product reductions.  Rank-1 cone rows stay on the
+            # VPU (their packing would cost per-iteration MXU dots that
+            # outweigh their ~40% share of Gram rows).
+            Jpack, E, W0, maskY = mxu
+            grp, G = _grp_of(nv), _ngroups(nv)
+            prec = _gram_precision()
+            Hc = jnp.zeros((nv, nv * 128), jnp.float32)
+            dn = (((1,), (0,)), ((), ()))
+            dt = (((0,), (0,)), ((), ()))
+            for g in range(G):
+                Jp = Jpack[g]                                  # (ne, 128)
+                Wp = jax.lax.dot_general(w, E[g], dn, precision=prec)
+                Gg = jax.lax.dot_general(Jp, Wp * Jp, dt, precision=prec)
+                Yg = Gg[0:nv, :] * maskY[0:1, :]
+                for e in range(1, grp):
+                    Yg = Yg + Gg[nv * e : nv * e + nv, :] * maskY[e : e + 1, :]
+                HHg = jax.lax.dot_general(Yg, W0, dn, precision=prec)
+                Hc = Hc + pltpu.roll(HHg, grp * g, axis=1)
+            H = jnp.stack(
+                [Hc[:, 128 * j : 128 * (j + 1)] for j in range(nv)], axis=1
+            )
+            if have_U:
+                cols = [[None] * nv for _ in range(nv)]
+                for i in range(nv):
+                    Ui_w = Us[:, i, :] * wU
+                    for j2 in range(i, nv):
+                        hij = _s2(Ui_w * Us[:, j2, :])
+                        cols[i][j2] = hij
+                        cols[j2][i] = hij
+                H = H + jnp.stack(
+                    [jnp.concatenate(cols[i], axis=0) for i in range(nv)],
+                    axis=0,
+                )
+        else:
+            cols = [[None] * nv for _ in range(nv)]
+            for i in range(nv):
+                Ji_w = J[:, i, :] * w
+                Ui_w = Us[:, i, :] * wU if have_U else None
+                for j2 in range(i, nv):
+                    hij = _s2(Ji_w * J[:, j2, :])
+                    if have_U:
+                        hij = hij + _s2(Ui_w * Us[:, j2, :])
+                    cols[i][j2] = hij
+                    cols[j2][i] = hij
+            H = jnp.stack(
+                [jnp.concatenate(cols[i], axis=0) for i in range(nv)], axis=0
+            )
+        H = H + M + 1e-10 * eye3                        # (nv, nv, B)
         diag = jnp.concatenate(
             [H[i, i : i + 1, :] for i in range(nv)], axis=0
         )
@@ -367,18 +484,25 @@ def newton_core(
     return a, f, _rmatvec(J, f)
 
 
-def _make_kernel(nv, nf, nl, K, iterations, pool_dims=None):
-    def kernel(
-        M_ref, qs_ref, warm_ref, J_ref, aref_ref, D_ref, R_ref, floss_ref,
-        active_ref, scale_ref, fscale_ref, maskd_ref, conact_ref, Rn_ref,
-        mu_ref, qacc_ref, f_ref, qfrc_ref,
-    ):
+def _make_kernel(nv, nf, nl, K, iterations, pool_dims=None, gram_mode="vpu"):
+    def kernel(*refs):
+        if gram_mode == "mxu":
+            (M_ref, qs_ref, warm_ref, J_ref, aref_ref, D_ref, R_ref,
+             floss_ref, active_ref, scale_ref, fscale_ref, maskd_ref,
+             conact_ref, Rn_ref, mu_ref, Jpack_ref, E_ref, W0_ref,
+             maskY_ref, qacc_ref, f_ref, qfrc_ref) = refs
+            mxu = (Jpack_ref[:], E_ref[:], W0_ref[:], maskY_ref[:])
+        else:
+            (M_ref, qs_ref, warm_ref, J_ref, aref_ref, D_ref, R_ref,
+             floss_ref, active_ref, scale_ref, fscale_ref, maskd_ref,
+             conact_ref, Rn_ref, mu_ref, qacc_ref, f_ref, qfrc_ref) = refs
+            mxu = None
         qacc, f, qfrc = newton_core(
             M_ref[:], qs_ref[:], warm_ref[:], J_ref[:], aref_ref[:],
             D_ref[:], R_ref[:], floss_ref[:], active_ref[:], scale_ref[:],
             fscale_ref[:], maskd_ref[:], conact_ref[:], Rn_ref[:],
             mu_ref[:], nv=nv, nf=nf, nl=nl, K=K, iterations=iterations,
-            pool_dims=pool_dims,
+            pool_dims=pool_dims, mxu=mxu,
         )
         qacc_ref[:] = qacc
         f_ref[:] = f
@@ -387,25 +511,36 @@ def _make_kernel(nv, nf, nl, K, iterations, pool_dims=None):
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "nv", "nf", "nl", "K", "iterations", "interpret", "pool_dims"
-    ),
-)
-def newton_solve_batched(
-    M, qacc_smooth, warmstart, J, aref, D, R, floss, active,
-    con_scale, con_fscale, con_dim_mask, con_active, con_Rn, con_mu,
-    *, nv, nf, nl, K, iterations, interpret=False, pool_dims=None,
-):
+def newton_solve_batched(*args, gram_mode=None, **kw):
     """Batched Newton solve.  All array args are batch-FIRST (B, ...) and
     float32; returns (qacc (B,nv), f (B,ne), qfrc (B,nv)).
 
     With pool_dims (((K_p, dim_p), ...)), J carries the compact pooled
     contact rows (sum K_p*dim_p) and contact metadata is (sum K_p, ...).
 
+    gram_mode: 'vpu' (row-product reductions) or 'mxu' (packed-lane
+    matmul Gram, PLAN lever 3); None reads QTPU_GRAM (default 'vpu').
+
     B is padded to a multiple of BLK=128 internally (edge padding so the
     padded lanes factor cleanly and cannot produce Inf/NaN spills)."""
+    if gram_mode is None:
+        gram_mode = os.environ.get("QTPU_GRAM", "vpu")
+    return _newton_solve_jit(*args, gram_mode=gram_mode, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nv", "nf", "nl", "K", "iterations", "interpret", "pool_dims",
+        "gram_mode",
+    ),
+)
+def _newton_solve_jit(
+    M, qacc_smooth, warmstart, J, aref, D, R, floss, active,
+    con_scale, con_fscale, con_dim_mask, con_active, con_Rn, con_mu,
+    *, nv, nf, nl, K, iterations, interpret=False, pool_dims=None,
+    gram_mode="vpu",
+):
     if pool_dims is not None:
         ne = nf + nl + sum(Kp * dp for Kp, dp in pool_dims)
         K = sum(Kp for Kp, _dp in pool_dims)
@@ -429,7 +564,9 @@ def newton_solve_batched(
         prep(con_active.astype(jnp.float32)), prep(con_Rn), prep(con_mu),
     ]
 
-    kernel = _make_kernel(nv, nf, nl, K, iterations, pool_dims=pool_dims)
+    kernel = _make_kernel(
+        nv, nf, nl, K, iterations, pool_dims=pool_dims, gram_mode=gram_mode
+    )
     grid = (Bp // BLK,)
 
     def spec(*lead):
@@ -440,6 +577,29 @@ def newton_solve_batched(
             memory_space=pltpu.VMEM,
         )
 
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, (lambda i, _n=nd: (0,) * _n), memory_space=pltpu.VMEM
+        )
+
+    in_specs = [
+        spec(nv, nv), spec(nv), spec(nv), spec(ne, nv), spec(ne),
+        spec(ne), spec(ne), spec(ne), spec(ne), spec(K, 6), spec(K, 6),
+        spec(K, 6), spec(K), spec(K), spec(K),
+    ]
+    if gram_mode == "mxu":
+        grp, G = _grp_of(nv), _ngroups(nv)
+        Jpack = _pack_groups(jnp.moveaxis(args[3], -1, 0), nv)
+        E, W0, maskY = (jnp.asarray(c) for c in _mxu_consts(nv))
+        args += [Jpack, E, W0, maskY]
+        in_specs += [
+            spec(G, ne),                       # Jpack: blocked on lanes
+            const_spec((G, 128, 128)),         # E
+            const_spec((128, nv * 128)),       # W0
+            const_spec((grp, 128)),            # maskY
+        ]
+
     out_shape = [
         jax.ShapeDtypeStruct((nv, Bp), jnp.float32),   # qacc
         jax.ShapeDtypeStruct((ne, Bp), jnp.float32),   # f
@@ -448,11 +608,7 @@ def newton_solve_batched(
     qacc, f, qfrc = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            spec(nv, nv), spec(nv), spec(nv), spec(ne, nv), spec(ne),
-            spec(ne), spec(ne), spec(ne), spec(ne), spec(K, 6), spec(K, 6),
-            spec(K, 6), spec(K), spec(K), spec(K),
-        ],
+        in_specs=in_specs,
         out_specs=[spec(nv), spec(ne), spec(nv)],
         out_shape=out_shape,
         interpret=interpret,

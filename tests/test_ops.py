@@ -151,3 +151,38 @@ def test_kernel_finite_on_stiff_state(env):
     assert bool(jnp.isfinite(qacc_b).all())
     assert bool(jnp.isfinite(qfrc_b).all())
     assert bool(jnp.isfinite(conf_b).all())
+
+
+def test_gram_mxu_matches_vpu(env):
+    """The MXU-packed Gram (gram_mode='mxu', PLAN lever 3) computes the
+    same Hessian as the VPU row-product path.
+
+    Compared at 2 Newton iterations: the packed-lane pipeline is exact to
+    f32 summation order (isolated Gram error ~2e-6), but beyond ~3
+    iterations the line-search ladder's cone-zone branches amplify last-ulp
+    H differences chaotically (measured VPU-vs-MXU qacc spread: 2e-4 @ 2
+    iters -> 4.5e-2 @ 6 on the stiff fixture state) — the same
+    sensitivity the single-path oracle test tolerates at 5e-2.  Two
+    iterations pin the packing math (every group/roll/scatter constant)
+    while staying pre-chaos."""
+    from quadruped_tpu.ops.newton import newton_solve_batched
+
+    m, M, qs, efc = _batch_inputs(env)
+    warm = jnp.zeros_like(qs)
+    ncon = efc.con_dist.shape[-1]
+    call = lambda mode: newton_solve_batched(
+        M, qs, warm, efc.J, efc.aref, efc.D, efc.R, efc.floss, efc.active,
+        efc.con_scale, efc.con_fscale, efc.con_dim_mask, efc.con_active,
+        efc.con_Rn, efc.con_mu_tilde,
+        nv=qs.shape[-1], nf=efc.nf, nl=efc.nl, K=ncon, iterations=2,
+        interpret=True, pool_dims=efc.pool_dims, gram_mode=mode,
+    )
+    qacc_v, f_v, qfrc_v = call("vpu")
+    qacc_m, f_m, qfrc_m = call("mxu")
+    assert bool(jnp.isfinite(qacc_m).all())
+    for a, b, name in ((qacc_v, qacc_m, "qacc"), (qfrc_v, qfrc_m, "qfrc")):
+        scale = 1.0 + float(jnp.abs(a).max())
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale,
+            atol=1e-3, err_msg=f"{name} vpu-vs-mxu",
+        )
