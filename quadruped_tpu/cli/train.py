@@ -109,6 +109,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpoint metadata and honored by --run test.")
     p.add_argument("--action_scale", type=float, default=0.3,
                    help="rad around key_ctrl for --action_mode centered")
+    p.add_argument("--command_speed_floor", type=float, default=0.0,
+                   help="anti-standing lever (a), VERDICT r3 #1: resample "
+                        "the x-velocity command as sign*U(floor, 0.5) so "
+                        "no training episode is trackable by standing "
+                        "still (reference: U(-0.5,0.5), go1_mujoco_env.py"
+                        ":1011-1015). Train-time only; evals keep "
+                        "reference sampling. 0 = off.")
+    p.add_argument("--stand_still_cost", type=float, default=0.0,
+                   help="anti-standing lever (c): per-step cost while "
+                        "healthy, commanded to move and ALL FOUR feet in "
+                        "contact — vanishes the moment any foot swings. "
+                        "Train-time only; evals keep reference semantics. "
+                        "0 = off.")
     p.add_argument("--eval_max_time", type=float, default=20.0,
                    help="Simulated seconds per eval episode during "
                         "training (reference show_duration_seconds, "
@@ -164,6 +177,10 @@ def make_env(args):
     if getattr(args, "action_mode", "raw") != "raw":
         extra["action_mode"] = args.action_mode
         extra["action_scale"] = args.action_scale
+    if getattr(args, "command_speed_floor", 0.0):
+        extra["command_speed_floor"] = args.command_speed_floor
+    if getattr(args, "stand_still_cost", 0.0):
+        extra["stand_still_cost"] = args.stand_still_cost
     cfg = Go1Config(
         robot=getattr(args, "robot", "go1"),
         ctrl_type=args.ctrl_type,
@@ -231,15 +248,27 @@ def run_test(args):
         raise SystemExit("--run test requires --model_path")
     # self-describing artifacts: the checkpoint metadata records the
     # policy<->env interface it was trained with (ctrl_type/action_mode);
-    # honor it unless the user explicitly overrode the flags
+    # honor it unless the user explicitly passed the flag on the command
+    # line (ADVICE r3 low: argparse defaults are indistinguishable from
+    # explicit flags, so explicitness is detected from sys.argv).  Falls
+    # back to the run-level best_model metadata when a periodic
+    # checkpoint_N predates the interface fields.
     import json
+    import sys as _sys
 
-    mp = Path(args.model_path) / "metadata.json"
-    if mp.exists():
-        meta0 = json.loads(mp.read_text())
-        for k in ("ctrl_type", "action_mode", "action_scale", "robot"):
-            if k in meta0:
-                setattr(args, k, meta0[k])
+    explicit = {
+        a[2:].split("=", 1)[0] for a in _sys.argv[1:] if a.startswith("--")
+    }
+    meta0 = {}
+    for src in (Path(args.model_path),
+                Path(args.model_path).parent / "best_model"):
+        mp = src / "metadata.json"
+        if mp.exists():
+            meta0 = {**json.loads(mp.read_text()), **meta0}
+    for k in ("ctrl_type", "action_mode", "action_scale", "robot",
+              "biped", "gait_conditioning"):
+        if k in meta0 and k not in explicit:
+            setattr(args, k, meta0[k])
     env = make_env(args)
     runner = Runner(
         env,

@@ -151,6 +151,23 @@ class Go1Config:
     # keep it while restoring reference reward semantics.
     action_mode: str = "raw"          # "raw" | "centered"
     action_scale: float = 0.3         # rad around key_ctrl ("centered")
+    # Anti-standing levers (VERDICT r3 next #1): the round-3 flagship
+    # converged to a perfect stander — a local optimum the shaped
+    # objective pays (+2.5/step incl. 1.64 of linear-vel tracking earned
+    # while stationary: exp(-err²/0.25) is generous at |v_des|~0.2, and
+    # nothing makes standing-under-command unprofitable).  Both knobs are
+    # train-time deviations; evals restore reference semantics
+    # (learn/runner.py zeroes them in the eval env).
+    #   command_speed_floor: resample the x-velocity command as
+    #     sign · U(floor, |desired_vel_max_x|) instead of U(-0.5, 0.5)
+    #     (reference: go1_mujoco_env.py:1011-1015) so no training episode
+    #     is trackable by standing still.  0 = reference sampling.
+    command_speed_floor: float = 0.0
+    #   stand_still_cost: per-step cost while healthy, commanded to move
+    #     (|v_des|>0.1) and ALL FOUR feet in contact — dense pressure to
+    #     lift a foot; vanishes the moment any foot swings, so a trotting
+    #     policy never pays it.  0 = off (reference has no such term).
+    stand_still_cost: float = 0.0
 
     frame_skip: int = 10                     # go1_mujoco_env.py:49
     max_episode_time: float = 120.0          # go1_mujoco_env.py:64

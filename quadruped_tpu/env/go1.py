@@ -230,6 +230,17 @@ class Go1Env:
             jnp.asarray(cfg.desired_vel_min, dtype),
             jnp.asarray(cfg.desired_vel_max, dtype),
         )
+        if cfg.command_speed_floor > 0:
+            # anti-standing lever (a), config.py: remap the x-command's
+            # magnitude U(0, hi) -> U(floor, hi) keeping its sign, so no
+            # training episode is trackable by standing still.  Train-time
+            # deviation from go1_mujoco_env.py:1011-1015; the eval env
+            # keeps floor 0 (learn/runner.py).
+            hi = abs(cfg.desired_vel_max[0])
+            lo = jnp.asarray(cfg.command_speed_floor, dtype)
+            sign = jnp.where(desired[0] >= 0, 1.0, -1.0).astype(dtype)
+            mag = lo + (jnp.abs(desired[0]) / hi) * (hi - lo)
+            desired = desired.at[0].set(sign * mag)
 
         # k_gait drawn here, BEFORE k_dr is consumed by _randomize: threefry
         # split children are counter-positional, so splitting k_dr again
@@ -632,9 +643,19 @@ class Go1Env:
         ).astype(dtype) * c.collision
         unhealthy_cost = jnp.where(healthy, 0.0, 1.0) * c.unhealthy_state
 
+        # anti-standing lever (c), config.py: all four feet in stance
+        # while healthy and commanded to move -> dense pressure to lift a
+        # foot; a stepping gait never pays it.  0-weight by default
+        # (reference has no such term); eval env keeps it 0.
+        moving_cmd = jnp.linalg.norm(state.desired_vel[:2]) > 0.1
+        stand_still = (
+            jnp.where(moving_cmd & healthy & jnp.all(curr_contact), 1.0, 0.0)
+            * cfg.stand_still_cost
+        )
+
         costs = (
             ctrl_cost + action_rate_cost + vertical + xy_ang + joint_limit
-            + joint_vel + joint_accel + coll + unhealthy_cost
+            + joint_vel + joint_accel + coll + unhealthy_cost + stand_still
         )
 
         # full per-channel decomposition: a superset of the reference's
@@ -663,6 +684,10 @@ class Go1Env:
             "joint_velocity_cost": -joint_vel,
             "joint_acceleration_cost": -joint_accel,
             "collision_cost": -coll,
+            **(
+                {"stand_still_cost": -stand_still}
+                if cfg.stand_still_cost else {}
+            ),
         }
 
         if cfg.biped:

@@ -86,9 +86,11 @@ class Runner:
         # to runs trained without shaping.  Same physics, same weights —
         # only the floor and the accel formula are restored.
         ecfg = env.cfg
-        if not ecfg.reward_floor or ecfg.accel_cost_mode != "dynamic":
+        if (not ecfg.reward_floor or ecfg.accel_cost_mode != "dynamic"
+                or ecfg.command_speed_floor or ecfg.stand_still_cost):
             self.eval_env = Go1Env(dataclasses.replace(
-                ecfg, reward_floor=True, accel_cost_mode="dynamic"
+                ecfg, reward_floor=True, accel_cost_mode="dynamic",
+                command_speed_floor=0.0, stand_still_cost=0.0,
             ))
         else:
             self.eval_env = env
@@ -139,6 +141,10 @@ class Runner:
                 "valid": ~done,          # steps past episode end are frozen
                 "healthy": healthy,
                 "tracking_error": track_err,
+                # the episode's commanded speed (constant within an
+                # episode): lets the gait gate scale its displacement
+                # floor by what was actually commanded
+                "desired_speed": jnp.linalg.norm(state.desired_vel[:2]),
                 "reward_components": {
                     k: v for k, v in info.items()
                     if k.endswith("_reward") or k.endswith("_cost")
@@ -226,11 +232,48 @@ class Runner:
             "distance": float(
                 np.asarray(out["distance_from_origin"])[:, -1].mean()
             ),
+            # mean commanded speed across episodes — the displacement
+            # yardstick for the hardened gait gate (VERDICT r3 next #2):
+            # a walking policy covers ~|v_des|*T; a stander covers ~0
+            "mean_desired_speed": float(
+                np.asarray(out["desired_speed"])[:, 0].mean()
+            ),
+            # feet leave the ground at all (first-contact events with
+            # airtime): 0.0 for a stander, > 0 for any stepping gait
+            # (masked to live steps — past-done steps re-step frozen state)
+            "feet_airtime": float(
+                (
+                    np.asarray(
+                        out["reward_components"].get(
+                            "feet_airtime_reward", np.zeros_like(valid, float)
+                        ),
+                        np.float64,
+                    )
+                    * valid
+                ).sum()
+            ),
         }
         for k, v in out["reward_components"].items():
             v = np.asarray(v, np.float64)
             metrics[f"channel/{k}"] = float((v * valid).sum() / nv)
         return metrics
+
+    # ------------------------------------------------------------- metadata
+
+    def _interface_metadata(self) -> dict:
+        """The policy<->env interface a consumer must rebuild to evaluate
+        a checkpoint of this run correctly (gait gate, --run test,
+        snapshot_walk_policy).  Written into EVERY artifact's metadata —
+        best_model and periodic checkpoints alike (ADVICE r3 medium)."""
+        c = self.env.cfg
+        return {
+            "ctrl_type": c.ctrl_type,
+            "action_mode": getattr(c, "action_mode", "raw"),
+            "action_scale": float(getattr(c, "action_scale", 0.3)),
+            "robot": getattr(c, "robot", "go1"),
+            "biped": bool(c.biped),
+            "gait_conditioning": bool(getattr(c, "gait_conditioning", False)),
+        }
 
     # ----------------------------------------------------------- dead signal
 
@@ -464,15 +507,7 @@ class Runner:
                             "score": float(score),
                             # self-describing artifact: consumers (gait
                             # gate, --run test) must rebuild the SAME env
-                            "ctrl_type": self.env.cfg.ctrl_type,
-                            "action_mode": getattr(
-                                self.env.cfg, "action_mode", "raw"
-                            ),
-                            "action_scale": float(getattr(
-                                self.env.cfg, "action_scale", 0.3
-                            )),
-                            "robot": getattr(self.env.cfg, "robot", "go1"),
-                            "biped": bool(self.env.cfg.biped),
+                            **self._interface_metadata(),
                             "gait_metrics": gait,
                         },
                     )
@@ -541,6 +576,13 @@ class Runner:
                         "clip_range": trainer.cfg.clip_range,
                         "rand_power": rp,
                         "mean_reward": float(metrics.get("mean_reward", 0.0)),
+                        # policy<->env interface fields, SAME set best_model
+                        # records (ADVICE r3 medium): without them,
+                        # snapshot_walk_policy --source checkpoint_N and
+                        # --run test on a periodic checkpoint silently fall
+                        # back to action_mode='raw' and evaluate a centered
+                        # policy in the wrong env
+                        **self._interface_metadata(),
                     },
                 )
 

@@ -166,9 +166,12 @@ def _mxu_consts(nv):
 
 def _gram_precision():
     name = os.environ.get("QTPU_GRAM_PRECISION", "highest")
-    return jax.lax.Precision(
-        {"default": "default", "high": "high", "highest": "highest"}[name]
-    )
+    valid = ("default", "high", "highest")
+    if name not in valid:
+        raise ValueError(
+            f"QTPU_GRAM_PRECISION={name!r}: expected one of {valid}"
+        )
+    return jax.lax.Precision(name)
 
 
 def _pack_groups(J_bf, nv):
@@ -528,8 +531,38 @@ def newton_solve_batched(*args, gram_mode=None, **kw):
     return _newton_solve_jit(*args, gram_mode=gram_mode, **kw)
 
 
+def _standalone_jit(fun, **jit_kw):
+    """jax.jit that applies TPU_COMPILER_OPTIONS (scoped-vmem budget)
+    ONLY for top-level calls — the kernel's VMEM working set at BLK=128
+    exceeds the default 16 MB scoped stack, so a STANDALONE compile of
+    this op (kernel benches, A/B tools) needs the same budget
+    utils.tpu_jit gives the fused production programs.  When the call is
+    NESTED inside an outer trace (the production solver path — tracer
+    args), compiler options are omitted: JAX rejects them on nested jits,
+    and the enclosing tpu_jit program already carries the budget."""
+    cache = {}
+
+    @functools.wraps(fun)
+    def wrapper(*args, **kw):
+        nested = any(
+            isinstance(x, jax.core.Tracer)
+            for x in jax.tree.leaves((args, kw))
+        )
+        key = (
+            "plain" if nested or jax.default_backend() == "cpu" else "opts"
+        )
+        if key not in cache:
+            from ..utils import TPU_COMPILER_OPTIONS
+
+            opts = dict(TPU_COMPILER_OPTIONS) if key == "opts" else None
+            cache[key] = jax.jit(fun, compiler_options=opts, **jit_kw)
+        return cache[key](*args, **kw)
+
+    return wrapper
+
+
 @functools.partial(
-    jax.jit,
+    _standalone_jit,
     static_argnames=(
         "nv", "nf", "nl", "K", "iterations", "interpret", "pool_dims",
         "gram_mode",

@@ -23,12 +23,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# persistent compile cache: the suite is ~90% XLA compilation (VERDICT r1
-# weak #8 measured >20 min serial); repeat runs with unchanged programs
-# hit the cache and drop to minutes.  Keyed by computation hash, so code
-# changes recompile exactly what changed.
-from quadruped_tpu.utils import cache as _cache  # noqa: E402
-
-_cache.enable(os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests"))
+# NO persistent compile cache on CPU: this JAX build's XLA:CPU AOT
+# deserialization can segfault reading back entries it just wrote (and
+# cross-host entries SIGILL) — the round-3 full-suite abort, root-caused
+# and documented in quadruped_tpu/utils/cache.py.  The suite pays its
+# compiles every run (~25 min cold, mostly XLA); correctness of the tier
+# beats warm reruns.  cache.enable() itself refuses CPU platforms, so
+# entry points that run under QTPU_FORCE_CPU are safe too.
 
 assert jax.devices()[0].platform == "cpu"

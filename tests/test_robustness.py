@@ -26,6 +26,13 @@ from quadruped_tpu.physics import forward as fwd
 DATA = pathlib.Path(__file__).parent / "data"
 
 
+# NOTE: the round-3 full-tier abort that always struck around this
+# module's f32 stiff-state program was root-caused in round 4 to the JAX
+# persistent cache's XLA:CPU AOT (de)serialization — fixed at the source:
+# quadruped_tpu/utils/cache.py now refuses to enable the persistent cache
+# on CPU platforms at all.
+
+
 @pytest.fixture(scope="module")
 def env32():
     return Go1Env(Go1Config(ctrl_type="torque"))

@@ -25,6 +25,19 @@
 #     terminated t=100; home-target probe: stands indefinitely at
 #     POSITIVE shaped reward +2.6/step).  Centered puts the Gaussian
 #     init exactly on the standing fixed point.
+#   * ROUND 4 anti-standing levers (VERDICT r3 #1: round 3's flagship
+#     became a PERFECT STANDER — healthy 1.0, full episodes, but
+#     feet_airtime 0.0 and distance 0.03 m over 30 s; standing earned
+#     +2.5/step incl. 1.64 of linear-vel tracking at |v_des|~0.2 and
+#     nothing made it unprofitable):
+#       --command_speed_floor 0.15 — x-command resampled as
+#         sign*U(0.15, 0.5): no training episode is trackable by
+#         standing still (evals keep reference U(-0.5,0.5) sampling);
+#       --stand_still_cost 1.5 — per-step cost while healthy, commanded
+#         to move and ALL FOUR feet in contact: dense pressure to lift a
+#         foot, zero for any stepping gait.  Standing under command now
+#         nets ~(1.22 tracking - 1.5 penalty) vs ~2.0 for tracking at
+#         the command — walking strictly dominates.
 #
 # The supervisor preflights the objective on CPU before the first launch
 # (tools/preflight_signal.py — refuses reward-density-0 configs), watches
@@ -40,6 +53,8 @@ QTPU_SOLVER_ITERS=8 QTPU_EVAL_CHUNK=100 nohup python tools/train_supervisor.py \
     --num_parallel_envs 4096 --n_steps 64 --num_minibatches 8 --n_epochs 5 \
     --ctrl_type position --reward_profile shaped \
     --action_mode centered \
+    --command_speed_floor 0.15 \
+    --stand_still_cost 1.5 \
     --best_metric gait \
     --max_unhealthy_time 1.0 \
     --contact_pools 8,28,12 \

@@ -20,8 +20,10 @@ distribution (CPU, ~1 minute):
   * per-channel reward/cost means — which channel is eating the signal
   * raw (pre-floor) reward stats — how far below the floor the signal sits
 
-Exit codes: 0 = signal present; 2 = DEAD (density or spread ~ 0) — do not
-launch.  Accepts every flag the training CLI accepts.
+Exit codes: 0 = signal present; 2 = DEAD (density or spread ~ 0);
+3 = collapse-centered exploration geometry (healthy_frac under random
+actions < 0.25 — round 3's raw-action run was flat for 60M steps this
+way).  Nonzero = do not launch.  Accepts every training CLI flag.
 
 Usage:
     python tools/preflight_signal.py --run train --reward_profile shaped \
@@ -54,6 +56,8 @@ N_STEPS = 128          # 2.56 simulated seconds per env at 50 Hz control
 ACTION_SCALE = 0.1     # "small random actions" — the VERDICT probe regime
 DENSITY_FLOOR = 0.05   # <5% nonzero-reward steps -> dead
 SPREAD_FLOOR = 1e-6    # reward stddev below this -> constant -> dead
+GEOMETRY_FLOOR = 0.25  # healthy_frac under random actions below -> fail
+GEOMETRY_WARN = 0.60   # ... below this -> warn (marginal bootstrap)
 
 
 def probe(env, seed: int = 0):
@@ -120,6 +124,35 @@ def main(argv=None):
         if k == "reward_raw":
             continue
         print(f"    {k:42s} {channels[k].mean():12.5f}")
+
+    # Exploration-geometry probe (VERDICT r3 weak #5): reward density
+    # alone missed round 3's raw-action run, which was flat from iteration
+    # 1 because the policy explored around the COLLAPSE fixed point
+    # (healthy_frac pinned at 0.40-0.45 for 60M steps).  Under small
+    # random actions from init, a healthy-exploration recipe (e.g.
+    # action_mode centered) keeps most probe steps healthy; a collapse-
+    # centered one loses health within ~2 s and never gets it back.
+    if "reward_survive" in channels:
+        healthy_frac = float((channels["reward_survive"] > 0).mean())
+        print(f"\n  exploration geometry: healthy_frac {healthy_frac:.3f} "
+              f"over the probe rollout (fail < {GEOMETRY_FLOOR}, "
+              f"warn < {GEOMETRY_WARN})")
+        if healthy_frac < GEOMETRY_FLOOR:
+            print(
+                "\nPREFLIGHT FAIL: exploration geometry is collapse-"
+                "centered — a random policy from init loses health almost "
+                "immediately and PPO will explore around the fallen fixed "
+                "point (round 3's 60M-step flat run). Try --action_mode "
+                "centered (position ctrl) so action=0 stands.",
+                flush=True,
+            )
+            return 3
+        if healthy_frac < GEOMETRY_WARN:
+            print(
+                "  WARNING: marginal exploration geometry — expect slow "
+                "bootstrap; consider --action_mode centered.",
+                flush=True,
+            )
 
     dead = density < DENSITY_FLOOR or spread < SPREAD_FLOOR
     if dead:

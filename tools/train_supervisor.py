@@ -181,6 +181,8 @@ def main():
         )
         preempted = False
         iterating = False   # this segment printed an iteration line yet?
+        seg_t0 = time.time()
+        scan_pos = seg_start
         try:
             while True:
                 time.sleep(20)
@@ -189,13 +191,23 @@ def main():
                           flush=True)
                     break
                 if not iterating:
-                    # cheap scan of only this segment's log region
+                    # incremental scan of only NEWLY appended bytes (ADVICE
+                    # r3 low: re-reading the whole growing tail every 20 s);
+                    # 8-byte overlap catches a match split across reads
                     try:
                         with open(args.log, "rb") as lf:
-                            lf.seek(seg_start)
-                            iterating = b"iter " in lf.read()
+                            lf.seek(max(scan_pos - 8, seg_start))
+                            data = lf.read()
+                            scan_pos = lf.tell()
+                            iterating = b"iter " in data
                     except OSError:
                         pass
+                    # 'iter ' lines only exist when RunnerConfig.verbose is
+                    # on; once the segment is past the compile-grace window
+                    # the stall threshold applies regardless, so a
+                    # verbose-off run still gets stall protection
+                    if time.time() - seg_t0 > args.compile_grace_minutes * 60:
+                        iterating = True
                 if tpulock.preempt_requested():
                     # bench wants the chip: kill the segment (it resumes
                     # from the newest checkpoint afterwards) and yield
