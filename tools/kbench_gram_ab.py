@@ -3,7 +3,8 @@
 
 Takes the chip via the bench-priority preemption protocol (the training
 supervisor checkpoints and yields, then auto-resumes when we release),
-runs tools/kbench.py once per gram mode in fresh subprocesses, and
+runs `tools/perf_probe.py kernel` once per gram mode in fresh
+subprocesses, and
 prints both JSON lines.  Mosaic lowering of the MXU path has never run
 on real hardware before this — a lowering error here is a result, not
 a crash (captured and printed).
@@ -46,7 +47,9 @@ def main():
             t0 = time.time()
             try:
                 r = subprocess.run(
-                    [sys.executable, os.path.join(REPO, "tools/kbench.py")],
+                    [sys.executable, os.path.join(REPO, "tools/perf_probe.py"),
+                     "kernel", "--B", args.B, "--iters", args.iters,
+                     "--gram", mode],
                     env=env, cwd=REPO, capture_output=True, text=True,
                     timeout=args.timeout,
                 )
