@@ -16,13 +16,16 @@ from quadruped_tpu.checkpoint import TrainingHistory
 from quadruped_tpu.learn.runner import Runner
 
 
-def _fake_out(valid, healthy, err, dist, channels=None):
+def _fake_out(valid, healthy, err, dist, channels=None, desired=0.3):
     B, T = valid.shape
     return {
         "valid": valid,
         "healthy": healthy,
         "tracking_error": err,
         "distance_from_origin": dist,
+        # constant per-episode commanded speed (round 4: the hardened
+        # gate's displacement yardstick)
+        "desired_speed": np.full((B, T), desired),
         "reward_components": channels or {},
     }
 
