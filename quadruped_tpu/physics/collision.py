@@ -521,7 +521,8 @@ def _capsule_box(cpos, cmat, r, half, bpos, bmat, size):
     )
 
 
-def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None):
+def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None,
+                defer_cyl: bool = False):
     """Run all groups; returns per-candidate (dist, pos, frame) with
     dist/pos/frame shapes (ncand,), (ncand,3), (ncand,3,3).
 
@@ -531,7 +532,18 @@ def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None):
     collides against the LOCAL TANGENT PLANE of the heightfield under the
     moving geom's center instead of the flat world plane; zero-amplitude
     terrain reproduces the plane results exactly.
-    """
+
+    defer_cyl: skip the 10-iteration alternating-projection refinement of
+    capsule_cylinder/cylinder_cylinder pairs and return the raw capsule-
+    capsule approximation — the DOMINANT narrowphase cost at 4096 envs
+    (round-4 probe: capsule_cylinder alone ~7 ms of the ~14 ms true
+    narrowphase cost per substep, over 247 pairs).  The caller
+    (constraint.assemble, pooled path) then refines only the top-K
+    SELECTED slots via `refine_cylinder_slots` (12 condim-1 slots vs 247
+    candidates on the Go1 table).  Sound because capsule(r,h) encloses
+    cylinder(r,h): the approximation UNDERESTIMATES distance, so activity
+    tests by it never miss a true contact, and the refined distance still
+    decides final contact activity."""
     gx, gm = kin.geom_xpos, kin.geom_xmat
     size = jnp.asarray(m.geom_size, gx.dtype)
 
@@ -570,14 +582,23 @@ def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None):
                 gx[i2], gm[i2], size[i2, 0], size[i2, 1],
             )
         elif g.kind in ("capsule_cylinder", "cylinder_cylinder"):
-            fn = (
-                _capsule_cylinder if g.kind == "capsule_cylinder"
-                else _cylinder_cylinder
-            )
-            d, p, nn = fn(
-                gx[i1], gm[i1], size[i1, 0], size[i1, 1],
-                gx[i2], gm[i2], size[i2, 0], size[i2, 1],
-            )
+            if defer_cyl:
+                # cheap pass: the capsule-capsule base approximation only
+                # (the hybrid's own d0 path); refinement happens post-
+                # selection in constraint.assemble
+                d, p, nn = _capsule_capsule(
+                    gx[i1], gm[i1], size[i1, 0], size[i1, 1],
+                    gx[i2], gm[i2], size[i2, 0], size[i2, 1],
+                )
+            else:
+                fn = (
+                    _capsule_cylinder if g.kind == "capsule_cylinder"
+                    else _cylinder_cylinder
+                )
+                d, p, nn = fn(
+                    gx[i1], gm[i1], size[i1, 0], size[i1, 1],
+                    gx[i2], gm[i2], size[i2, 0], size[i2, 1],
+                )
         elif g.kind == "sphere_box":
             d, p, nn = _sphere_box(gx[i1], size[i1, 0], gx[i2], gm[i2], size[i2])
         elif g.kind == "capsule_box":
@@ -611,6 +632,54 @@ def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None):
     pos = jnp.concatenate(poss, axis=0)
     frame = jnp.concatenate(frames, axis=0)
     return dist, pos, frame
+
+
+# deferred-refinement kind codes (constraint.EfcLayout.con_cylkind)
+CYLKIND_NONE, CYLKIND_CAPCYL, CYLKIND_CYLCYL = 0, 1, 2
+
+
+def refine_cylinder_slots(kin, g1, g2, r1, h1, r2, h2, kindflag,
+                          dist0, pos0, n0, iters: int = 10):
+    """Slot-level deferred cylinder refinement — the SAME math as
+    `_cylinder_hybrid` (capsule-capsule base + 10 alternating projections
+    between the true solids, separation-exact), applied AFTER top-K
+    selection so it runs on K slots instead of every candidate.
+
+    g1/g2 are per-slot geom indices ((K,), dynamic per env); r/h the
+    gathered static sizes; kindflag 0/1/2 = none/capsule_cylinder/
+    cylinder_cylinder (geom2 is always the cylinder for kind 1, matching
+    build_table's ordering); dist0/pos0/n0 the slot's capsule-approximation
+    results from the deferred narrowphase.  Non-cylinder slots pass
+    through untouched."""
+    p1 = kin.geom_xpos[g1]
+    R1 = kin.geom_xmat[g1]
+    p2 = kin.geom_xpos[g2]
+    R2 = kin.geom_xmat[g2]
+    is_capcyl = (kindflag == CYLKIND_CAPCYL)[..., None]
+    q = p1
+    q2 = p2
+    for _ in range(iters):
+        q2 = _proj_solid_cylinder(q, p2, R2, r2, h2)
+        q = jnp.where(
+            is_capcyl,
+            _proj_solid_capsule(q2, p1, R1, r1, h1),
+            _proj_solid_cylinder(q2, p1, R1, r1, h1),
+        )
+    gap_vec = q2 - q
+    gap = jnp.linalg.norm(gap_vec, axis=-1)
+    separated = gap > 1e-7
+    n_ref = jnp.where(
+        separated[..., None],
+        gap_vec / jnp.maximum(gap, 1e-12)[..., None], n0,
+    )
+    pos_ref = jnp.where(separated[..., None], 0.5 * (q + q2), pos0)
+    dist_ref = jnp.where(separated, gap, dist0)
+    apply = kindflag > 0
+    return (
+        jnp.where(apply, dist_ref, dist0),
+        jnp.where(apply[..., None], pos_ref, pos0),
+        jnp.where(apply[..., None], n_ref, n0),
+    )
 
 
 def make_frame(n: jax.Array) -> jax.Array:

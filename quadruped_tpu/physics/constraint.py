@@ -119,11 +119,23 @@ class EfcLayout:
     # contact capacity on the Go1 full-collision table
     pools: tuple | None = None
 
+    # deferred cylinder refinement (round 4, PLAN perf): per-candidate
+    # geom ids / sizes / kind codes so the pooled path can run the
+    # 10-iteration cylinder projection on the K SELECTED slots instead of
+    # every candidate (collision.refine_cylinder_slots)
+    con_geom1: np.ndarray | None = None   # (ncand,)
+    con_geom2: np.ndarray | None = None
+    con_rh: np.ndarray | None = None      # (ncand, 4) r1 h1 r2 h2
+    con_cylkind: np.ndarray | None = None  # (ncand,) collision.CYLKIND_*
+    defer_cyl: bool = False
+
 
 def build_layout(
     m: PhysicsModel, table: CollisionTable, max_contacts: int | None = None,
-    contact_pools: dict | None = None,
+    contact_pools: dict | None = None, defer_cyl: bool = False,
 ) -> EfcLayout:
+    from .collision import CYLKIND_CAPCYL, CYLKIND_CYLCYL
+
     dof_invw, body_invw = invweights(m)
     friction_dofs = np.where(m.dof_frictionloss > 0)[0].astype(np.int32)
     limit_joints = np.where(m.jnt_limited & (m.jnt_type == JNT_HINGE))[0].astype(
@@ -141,7 +153,28 @@ def build_layout(
             budget = int(contact_pools.get(cdim, len(idx)))
             pools.append((cdim, idx, min(budget, len(idx))))
         pools = tuple(pools)
+    g1c = table.cand_meta("geom1").astype(np.int32)
+    g2c = table.cand_meta("geom2").astype(np.int32)
+    cylkind = np.concatenate([
+        np.full(
+            g.ncand,
+            CYLKIND_CAPCYL if g.kind == "capsule_cylinder"
+            else CYLKIND_CYLCYL if g.kind == "cylinder_cylinder" else 0,
+            np.int32,
+        )
+        for g in table.groups
+    ]) if table.groups else np.zeros(0, np.int32)
+    rh = np.stack(
+        [m.geom_size[g1c, 0], m.geom_size[g1c, 1],
+         m.geom_size[g2c, 0], m.geom_size[g2c, 1]], axis=1,
+    )
     return EfcLayout(
+        con_geom1=g1c,
+        con_geom2=g2c,
+        con_rh=rh,
+        con_cylkind=cylkind,
+        # deferral only pays (and is only implemented) on the pooled path
+        defer_cyl=bool(defer_cyl and pools is not None and (cylkind > 0).any()),
         friction_dofs=friction_dofs,
         limit_joints=limit_joints,
         ncon=ncon,
@@ -253,6 +286,13 @@ def _packed_const(layout: EfcLayout) -> np.ndarray:
                 np.asarray(layout.con_body2, np.float64)[:, None],
                 np.asarray(layout.con_condim, np.float64)[:, None],
                 np.asarray(layout.con_includemargin, np.float64)[:, None],
+                # deferred-cylinder refinement metadata (cols 18-24):
+                # geom ids, r1 h1 r2 h2, kind code — rides the same single
+                # gather as everything else
+                np.asarray(layout.con_geom1, np.float64)[:, None],
+                np.asarray(layout.con_geom2, np.float64)[:, None],
+                np.asarray(layout.con_rh, np.float64),
+                np.asarray(layout.con_cylkind, np.float64)[:, None],
             ],
             axis=1,
         )
@@ -269,6 +309,10 @@ def _unpack_const(csel):
         body2=csel[:, 15].astype(jnp.int32),
         condim=csel[:, 16].astype(jnp.int32),
         includemargin=csel[:, 17],
+        geom1=csel[:, 18].astype(jnp.int32),
+        geom2=csel[:, 19].astype(jnp.int32),
+        rh=csel[:, 20:24],
+        cylkind=csel[:, 24].astype(jnp.int32),
     )
 
 
@@ -339,7 +383,9 @@ def assemble(
     # narrowphase over ALL candidates (cheap VPU math), then top-K selection
     # of the most-penetrating candidates: only K contacts enter the solver,
     # cutting the dominant J^T W J cost ~4-10x with static shapes intact.
-    dist_all, pos_all, frame_all = narrowphase(m, table, kin, terrain=terrain)
+    dist_all, pos_all, frame_all = narrowphase(
+        m, table, kin, terrain=terrain, defer_cyl=layout.defer_cyl
+    )
     K = layout.max_contacts
     static_cd = None     # static per-slot condim => compact J rows
     pool_dims = None
@@ -394,6 +440,42 @@ def assemble(
         # slot condim is the pool's STATIC dim (compact rows), not the
         # gathered per-candidate value
         condim = jnp.asarray(static_cd)
+
+        if layout.defer_cyl:
+            # deferred cylinder refinement (round 4): the cheap narrowphase
+            # above returned the capsule-capsule approximation for
+            # capsule_cylinder/cylinder_cylinder candidates; run the
+            # 10-iteration projection refinement on just the SELECTED slots
+            # of the classes that can contain them (Go1: the 12 condim-1
+            # slots vs 247 candidates).  Static slices per class — no
+            # scatter; invalid slots keep their 1e9 sentinel.
+            from .collision import make_frame as _mkframe
+            from .collision import refine_cylinder_slots
+
+            ck_all = np.asarray(layout.con_cylkind)
+            off = 0
+            for _cdim, idx_, Kc_ in layout.pools:
+                if Kc_ == 0:
+                    continue
+                rng_ = slice(off, off + Kc_)
+                off += Kc_
+                if not (ck_all[idx_] > 0).any():
+                    continue
+                d_sl, p_sl, f_sl = dist[rng_], pos[rng_], frame[rng_]
+                ck_sl = c["cylkind"][rng_]
+                rh_sl = c["rh"][rng_]
+                dr, pr, nr = refine_cylinder_slots(
+                    kin, c["geom1"][rng_], c["geom2"][rng_],
+                    rh_sl[:, 0], rh_sl[:, 1], rh_sl[:, 2], rh_sl[:, 3],
+                    ck_sl, d_sl, p_sl, f_sl[:, 0, :],
+                )
+                apply_ = ck_sl > 0
+                f_new = jnp.where(apply_[:, None, None], _mkframe(nr), f_sl)
+                dist = dist.at[rng_].set(
+                    jnp.where(slot_valid[rng_], dr, 1e9)
+                )
+                pos = pos.at[rng_].set(pr)
+                frame = frame.at[rng_].set(f_new)
     elif K is not None and K < layout.ncon:
         # stream-compact the active candidates into K solver slots with a
         # cumsum + searchsorted (scatter-free; a full top_k sort is ~4x

@@ -48,14 +48,30 @@ class Pipeline:
     def build(
         m: PhysicsModel, mode: str = "plane", max_contacts: int | None = None,
         contact_pools: dict | None = None,
+        defer_cyl_refine: bool | None = None,
     ) -> "Pipeline":
+        import os
+
         table = build_table(m, mode)
         if max_contacts is not None and max_contacts >= table.ncand:
             max_contacts = None
             contact_pools = None
+        # deferred cylinder refinement (round-4 perf lever): default ON
+        # for pooled layouts — the 10-iteration projection runs on the K
+        # selected slots instead of all 247 cylinder candidates; the
+        # un-pooled/oracle paths keep refine-everything semantics.
+        # QTPU_DEFER_CYL=0/1 overrides for A/B.
+        if defer_cyl_refine is None:
+            defer_cyl_refine = contact_pools is not None
+        env_over = os.environ.get("QTPU_DEFER_CYL")
+        if env_over is not None:
+            defer_cyl_refine = env_over == "1"
         return Pipeline(
             m=m, table=table,
-            layout=build_layout(m, table, max_contacts, contact_pools),
+            layout=build_layout(
+                m, table, max_contacts, contact_pools,
+                defer_cyl=defer_cyl_refine,
+            ),
         )
 
 

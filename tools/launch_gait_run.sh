@@ -62,7 +62,7 @@ QTPU_SOLVER_ITERS=8 QTPU_EVAL_CHUNK=100 nohup python tools/train_supervisor.py \
     --rollout_chunk "${QTPU_ROLLOUT_CHUNK:-2}" \
     --eval_frequency 2000000 --video_interval 10000000 \
     --eval_max_time 30 \
-    --checkpoint_interval 5000000 \
+    --checkpoint_interval 2000000 \
     --run_name "${QTPU_RUN_NAME:-walk-centered}" \
     > /tmp/supervisor_gait.log 2>&1 &
 echo $! > /tmp/supervisor_gait.pid

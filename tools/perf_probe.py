@@ -265,6 +265,96 @@ def cmd_evalpoison(args):
     lock.release()
 
 
+# ------------------------------------------------------------------- assemble
+
+def cmd_assemble(args):
+    """Drill into the assemble stage at the PRODUCTION profile (pools
+    8,28,12 + batch-last) — profile_phases r4 measured it at 37.4 ms of
+    the 63 ms/substep budget (59%).  Times narrowphase alone, then
+    narrowphase + pool compaction/gathers, then full assemble, all under
+    the same batch-last dispatch production uses."""
+    lock = _take_chip()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quadruped_tpu.physics.collision import narrowphase
+    from quadruped_tpu.physics.constraint import (
+        _packed_const, assemble_auto,
+    )
+    from quadruped_tpu.physics.dispatch import batch_last
+    from quadruped_tpu.physics.kinematics import fk
+    from quadruped_tpu.utils import tpu_jit
+
+    env = _flagship_env()
+    m, pl_ = env.m, env.pipeline
+    layout, table = pl_.layout, pl_.table
+    B = args.B
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    st = tpu_jit(jax.vmap(env.reset))(keys)
+    st = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, st)
+    qpos, qvel = st.qpos, st.qvel
+    kin = tpu_jit(jax.vmap(lambda qp, qv: fk(m, qp, qv)))(qpos, qvel)
+
+    def bench(fn, fargs, iters=10):
+        out = fn(*fargs)
+        _sync(jax.tree.leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*fargs)
+        _sync(jax.tree.leaves(out)[0])
+        return (time.perf_counter() - t0) / iters
+
+    print(f"B={B} ncand={table.ncand} pools={layout.pools is not None} "
+          f"nefc={layout.nefc}", flush=True)
+
+    nar = batch_last(lambda k: narrowphase(m, table, k))
+    jnar = tpu_jit(jax.vmap(nar))
+    print(f"  narrowphase              "
+          f"{bench(jnar, (kin,))*1e6:9.0f} us", flush=True)
+
+    # narrowphase + pool compaction + packed gathers (mirrors
+    # constraint.assemble's pooled selection block, stopping before the
+    # J-row construction)
+    incm_all = jnp.asarray(np.asarray(layout.con_includemargin), jnp.float32)
+    const_tbl = jnp.asarray(_packed_const(layout), jnp.float32)
+
+    def sel_block(k):
+        dist_all, pos_all, frame_all = narrowphase(m, table, k)
+        act_all = dist_all < incm_all
+        data = jnp.concatenate(
+            [dist_all[:, None], pos_all, frame_all.reshape(-1, 9)], axis=1
+        )
+        outs = []
+        for cdim, idx, Kc in layout.pools:
+            if Kc == 0:
+                continue
+            idxj = jnp.asarray(idx)
+            act_c = act_all[idxj]
+            cs = jnp.cumsum(act_c.astype(jnp.int32))
+            ks = jnp.arange(Kc, dtype=jnp.int32)
+            sel_local = jnp.sum(
+                (cs[None, :] <= ks[:, None]).astype(jnp.int32), axis=1
+            )
+            sel_local = jnp.minimum(sel_local, len(idx) - 1)
+            sel_c = idxj[sel_local]
+            outs.append((data[sel_c], const_tbl[sel_c]))
+        return tuple(outs)
+
+    jsel = tpu_jit(jax.vmap(batch_last(sel_block)))
+    print(f"  + pool compact+gathers   "
+          f"{bench(jsel, (kin,))*1e6:9.0f} us", flush=True)
+
+    jasm = tpu_jit(jax.vmap(
+        lambda k, qp, qv: assemble_auto(m, layout, table, k, qp, qv)
+    ))
+    print(f"  full assemble            "
+          f"{bench(jasm, (kin, qpos, qvel))*1e6:9.0f} us", flush=True)
+    lock.release()
+
+
 # ---------------------------------------------------------------- gram parity
 
 def cmd_gram_parity(args):
@@ -344,6 +434,8 @@ def main():
     i.add_argument("--n", type=int, default=4)
     i.add_argument("--collision", default="full", choices=["full", "plane"])
     sub.add_parser("evalpoison")
+    a = sub.add_parser("assemble")
+    a.add_argument("--B", type=int, default=4096)
     sub.add_parser("gram-parity")
     args = ap.parse_args()
     {
@@ -351,6 +443,7 @@ def main():
         "rollout": cmd_rollout,
         "iteration": cmd_iteration,
         "evalpoison": cmd_evalpoison,
+        "assemble": cmd_assemble,
         "gram-parity": cmd_gram_parity,
     }[args.cmd](args)
 

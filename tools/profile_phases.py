@@ -58,9 +58,29 @@ def main():
     p.add_argument("--ctrl_type", default="torque")
     p.add_argument("--collision", default="full", choices=["plane", "full"])
     p.add_argument("--max_contacts", type=int, default=None)
+    p.add_argument("--pools", default=None,
+                   help="'K6,K3,K1' condim pools (production: 8,28,12)")
+    p.add_argument("--solver_iterations", type=int, default=None,
+                   help="Newton iterations (production: 8)")
     args = p.parse_args()
 
-    cfg = Go1Config(ctrl_type=args.ctrl_type, collision_mode=args.collision)
+    from quadruped_tpu.utils import tpulock
+
+    if not tpulock.acquire_with_preempt("bench", timeout_s=420.0):
+        print(f"lock contested (holder={tpulock.holder()}); probing anyway",
+              flush=True)
+    import atexit
+
+    atexit.register(tpulock.release)
+
+    cfg = Go1Config(
+        ctrl_type=args.ctrl_type, collision_mode=args.collision,
+        contact_pools=(
+            tuple(int(x) for x in args.pools.split(",")) if args.pools
+            else None
+        ),
+        solver_iterations=args.solver_iterations,
+    )
     if args.max_contacts is not None:
         cfg.max_contacts = args.max_contacts
     env = Go1Env(cfg)
