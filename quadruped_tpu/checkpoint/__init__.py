@@ -101,7 +101,8 @@ class TrainingHistory:
     FIELDS = ("timesteps", "rewards", "lengths", "successes")
     # gait-quality series (VERDICT r1 weak #3): may be shorter than the
     # core series when resuming from a pre-metric history file
-    GAIT_FIELDS = ("healthy_frac", "tracking_error", "distance")
+    GAIT_FIELDS = ("healthy_frac", "tracking_error", "distance",
+                   "feet_airtime", "mean_desired_speed")
 
     def __init__(self):
         self.best_reward = -float("inf")
