@@ -122,6 +122,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "contact — vanishes the moment any foot swings. "
                         "Train-time only; evals keep reference semantics. "
                         "0 = off.")
+    p.add_argument("--feet_airtime_bootstrap", type=float, default=0.0,
+                   help="linear payment per foot touchdown with >= 0.1 s "
+                        "airtime while commanded+healthy — the reachable "
+                        "bootstrap for stepping (the reference's "
+                        "(air-0.2)^2 payout is ~0 for the earliest "
+                        "explorable swings). Train-time only. 0 = off.")
     p.add_argument("--eval_max_time", type=float, default=20.0,
                    help="Simulated seconds per eval episode during "
                         "training (reference show_duration_seconds, "
@@ -181,6 +187,8 @@ def make_env(args):
         extra["command_speed_floor"] = args.command_speed_floor
     if getattr(args, "stand_still_cost", 0.0):
         extra["stand_still_cost"] = args.stand_still_cost
+    if getattr(args, "feet_airtime_bootstrap", 0.0):
+        extra["feet_airtime_bootstrap"] = args.feet_airtime_bootstrap
     cfg = Go1Config(
         robot=getattr(args, "robot", "go1"),
         ctrl_type=args.ctrl_type,

@@ -168,6 +168,16 @@ class Go1Config:
     #     lift a foot; vanishes the moment any foot swings, so a trotting
     #     policy never pays it.  0 = off (reference has no such term).
     stand_still_cost: float = 0.0
+    #   feet_airtime_bootstrap: linear per-touchdown payment (w per foot
+    #     touching down after >= 0.1 s airborne, while healthy and
+    #     commanded) — the REACHABLE version of the reference's airtime
+    #     reward, whose (air-0.2s)^2-on-first-contact payout is ~0.0025
+    #     for the earliest explorable swings and therefore carries no
+    #     usable gradient out of a stance (round-4 probe: the 12.8M-step
+    #     levered policy converged to a static four-feet stance, vx=0.000,
+    #     absorbing stand_still_cost).  A static tripod earns nothing (no
+    #     touchdowns); foot vibration fails the 0.1 s bar.  0 = off.
+    feet_airtime_bootstrap: float = 0.0
 
     frame_skip: int = 10                     # go1_mujoco_env.py:49
     max_episode_time: float = 120.0          # go1_mujoco_env.py:64

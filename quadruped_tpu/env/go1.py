@@ -582,6 +582,18 @@ class Go1Env:
                 jnp.linalg.norm(state.desired_vel[:2]) > 0.1
             )
             feet_air = feet_air * w.feet_airtime
+            if cfg.feet_airtime_bootstrap:
+                # anti-standing lever (config.py): linear payment per
+                # touchdown with >= 0.1 s of airtime — reachable by
+                # exploration where the reference's quadratic-above-0.2s
+                # payout is not.  Train-time only; eval env zeroes it.
+                qualifying = first_contact * (air >= 0.1)
+                feet_air = feet_air + (
+                    jnp.sum(qualifying)
+                    * (jnp.linalg.norm(state.desired_vel[:2]) > 0.1)
+                    * jnp.where(healthy, 1.0, 0.0)
+                    * cfg.feet_airtime_bootstrap
+                )
             new_feet_air_time = air * ~contact_filter
 
         # recovery (go1_mujoco_env.py:535-580)

@@ -113,6 +113,7 @@ def test_runner_eval_env_restores_reference_semantics(levered_env):
     ec = r.eval_env.cfg
     assert ec.reward_floor and ec.accel_cost_mode == "dynamic"
     assert ec.command_speed_floor == 0.0 and ec.stand_still_cost == 0.0
+    assert ec.feet_airtime_bootstrap == 0.0
     # physics/interface must be untouched
     assert ec.ctrl_type == "position" and ec.action_mode == "centered"
 

@@ -55,6 +55,7 @@ QTPU_SOLVER_ITERS=8 QTPU_EVAL_CHUNK=100 nohup python tools/train_supervisor.py \
     --action_mode centered \
     --command_speed_floor 0.15 \
     --stand_still_cost 1.5 \
+    --feet_airtime_bootstrap "${QTPU_AIRTIME_BOOTSTRAP:-5.0}" \
     --best_metric gait \
     --max_unhealthy_time 1.0 \
     --contact_pools 8,28,12 \
