@@ -174,6 +174,11 @@ def make_env(args):
         )
     if profile == "shaped":
         extra.update(reward_floor=False, accel_cost_mode="plain")
+        if args.biped:
+            # force-squared contact costs reach 1e8/step unfloored
+            # (round-4 biped attempt #1: train reward -4.3e10); the
+            # bounded indicator form keeps the objective learnable
+            extra.update(biped_contact_mode="indicator")
     if getattr(args, "contact_pools", None):
         extra["contact_pools"] = tuple(
             int(x) for x in args.contact_pools.split(",")

@@ -178,6 +178,17 @@ class Go1Config:
     #     absorbing stand_still_cost).  A static tripod earns nothing (no
     #     touchdowns); foot vibration fails the 0.1 s bar.  0 = off.
     feet_airtime_bootstrap: float = 0.0
+    # Biped contact-cost form.  "force_sq" = reference semantics
+    # (go1_mujoco_env.py:425-430, 771-781): cost = w * ||force||^2 — at
+    # fall-impact forces (~1e3 N) this reaches 1e8/step, which the
+    # reference's max(0,.) floor silently clamps to reward 0 (the r3
+    # preflight measured density 2.4%: structurally unlearnable), and
+    # which under the unfloored shaped profile produced train reward
+    # -4.3e10/step (round-4 biped attempt #1 — value targets that large
+    # are equally unlearnable).  "indicator" = train-time shaping: cost =
+    # (w/10) * count(contacts with force > 1 N) — bounded, same sign
+    # structure, gradient survives.  Evals keep reference semantics.
+    biped_contact_mode: str = "force_sq"   # "force_sq" | "indicator"
 
     frame_skip: int = 10                     # go1_mujoco_env.py:49
     max_episode_time: float = 120.0          # go1_mujoco_env.py:64

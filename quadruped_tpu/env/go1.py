@@ -708,7 +708,16 @@ class Go1Env:
             trunk_fwd = kin.xmat[TRUNK][:, 0]
             upright = jnp.clip(trunk_fwd[2], min=0.0) * bw.upright
             front_forces = feet_forces[:2]
-            front_contact = jnp.sum(jnp.square(front_forces)) * bw.front_contact
+            if cfg.biped_contact_mode == "indicator":
+                # bounded train-time form (see config.py): count of
+                # loaded front feet instead of force-squared
+                front_contact = jnp.sum(
+                    (front_forces > 1.0).astype(dtype)
+                ) * (bw.front_contact / 10.0)
+            else:
+                front_contact = (
+                    jnp.sum(jnp.square(front_forces)) * bw.front_contact
+                )
             rear_airborne = jnp.where(
                 jnp.all(feet_forces[2:] < 1.0), bw.rear_feet_airborne, 0.0
             )
@@ -729,14 +738,18 @@ class Go1Env:
             abduction = jnp.sum(
                 jnp.square(qpos[7:][jnp.asarray([0, 3, 6, 9])])
             ) * bw.abduction_joints
-            unwanted = jnp.sum(
-                jnp.square(
-                    jnp.linalg.norm(
-                        data.cfrc_ext[jnp.asarray(self.unwanted_contact_bodies)],
-                        axis=1,
-                    )
+            unwanted_norms = jnp.linalg.norm(
+                data.cfrc_ext[jnp.asarray(self.unwanted_contact_bodies)],
+                axis=1,
+            )
+            if cfg.biped_contact_mode == "indicator":
+                unwanted = jnp.sum(
+                    (unwanted_norms > 1.0).astype(dtype)
+                ) * (bw.unwanted_contact / 10.0)
+            else:
+                unwanted = (
+                    jnp.sum(jnp.square(unwanted_norms)) * bw.unwanted_contact
                 )
-            ) * bw.unwanted_contact
             self_mask = jnp.asarray(self.self_collision_mask)
             if data.con_sel is not None:
                 self_mask = self_mask[data.con_sel]

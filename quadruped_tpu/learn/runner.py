@@ -88,11 +88,12 @@ class Runner:
         ecfg = env.cfg
         if (not ecfg.reward_floor or ecfg.accel_cost_mode != "dynamic"
                 or ecfg.command_speed_floor or ecfg.stand_still_cost
-                or ecfg.feet_airtime_bootstrap):
+                or ecfg.feet_airtime_bootstrap
+                or ecfg.biped_contact_mode != "force_sq"):
             self.eval_env = Go1Env(dataclasses.replace(
                 ecfg, reward_floor=True, accel_cost_mode="dynamic",
                 command_speed_floor=0.0, stand_still_cost=0.0,
-                feet_airtime_bootstrap=0.0,
+                feet_airtime_bootstrap=0.0, biped_contact_mode="force_sq",
             ))
         else:
             self.eval_env = env
