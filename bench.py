@@ -47,7 +47,9 @@ def _watchdog():
 # budget.
 from quadruped_tpu.utils import tpulock  # noqa: E402  (pre-jax: cheap, no device touch)
 
-if not tpulock.acquire_with_preempt(
+if os.environ.get("QTPU_FORCE_CPU"):
+    pass  # CPU validation run: do not preempt a TPU training segment
+elif not tpulock.acquire_with_preempt(
     "bench", timeout_s=float(os.environ.get("QTPU_LOCK_TIMEOUT", "420"))
 ):
     print(
@@ -59,6 +61,14 @@ if not tpulock.acquire_with_preempt(
 threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax
+
+if os.environ.get("QTPU_FORCE_CPU"):
+    # JAX_PLATFORMS in the environment is not honored once the axon PJRT
+    # plugin is discoverable — pin through jax.config before backend init
+    # (same guard as cli/train.py main; used for harness validation runs
+    # that must not preempt a TPU training segment)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from quadruped_tpu.utils import cache as _cache
@@ -71,7 +81,12 @@ from quadruped_tpu.models.actor_critic import Policy
 
 NUM_ENVS = int(os.environ.get("QTPU_BENCH_ENVS", 4096))
 WARMUP = 3
-TIMED_STEPS = int(os.environ.get("QTPU_BENCH_STEPS", 20))
+# metric-of-record hardening (VERDICT r4 weak #6): 3 windows x 40 steps
+# (~7.5 s total at the r4 rate) instead of a single thin 20-step window;
+# the reported value is the MEDIAN window, with per-window values and
+# spread in the JSON so regressions are attributable vs noise.
+TIMED_STEPS = int(os.environ.get("QTPU_BENCH_STEPS", 40))
+WINDOWS = int(os.environ.get("QTPU_BENCH_WINDOWS", 3))
 BASELINE = 1.0e6
 
 
@@ -121,6 +136,69 @@ def build():
     return variables, state, obs, step
 
 
+def _phase_breakdown(env, iters=5):
+    """Per-substep stage timings (ms) at the bench batch size, so a perf
+    regression in the headline number is attributable to a stage
+    (VERDICT r4 weak #6).  Standalone per-stage programs carry the axon
+    ~2-4 ms dispatch floor — ranking is reliable, absolutes are upper
+    bounds (see tools/profile_phases.py / memory notes)."""
+    from quadruped_tpu.physics import forward as F
+    from quadruped_tpu.physics.constraint import assemble
+    from quadruped_tpu.physics.kinematics import fk
+    from quadruped_tpu.physics.smooth import smooth_dynamics
+    from quadruped_tpu.physics.solver import solve
+
+    m, pl_ = env.m, env.pipeline
+
+    def timeit(fn, args):
+        out = fn(*args)
+        float(jax.device_get(jnp.ravel(jax.tree.leaves(out)[0])[0]))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        float(jax.device_get(jnp.ravel(jax.tree.leaves(out)[0])[0]))
+        return (time.perf_counter() - t0) / iters, out
+
+    keys = jax.random.split(jax.random.PRNGKey(7), NUM_ENVS)
+    st = tpu_jit(jax.vmap(env.reset))(keys)
+    st = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, st)
+    qpos, qvel, params = st.qpos, st.qvel, st.params
+    ctrl = jnp.zeros((NUM_ENVS, env.nu), jnp.float32)
+    warm = jnp.zeros_like(qvel)
+
+    phases = {}
+    try:
+        jfk = tpu_jit(jax.vmap(lambda qp, qv: fk(m, qp, qv)))
+        t, kin = timeit(jfk, (qpos, qvel))
+        phases["fk_ms"] = round(t * 1e3, 2)
+        jsm = tpu_jit(jax.vmap(
+            lambda pr, k, qp, qv, c: smooth_dynamics(m, pr, k, qp, qv, c)))
+        t, sm = timeit(jsm, (params, kin, qpos, qvel, ctrl))
+        phases["smooth_ms"] = round(t * 1e3, 2)
+        M_, _L, _qs, qacc_s, _qa = sm
+        jasm = tpu_jit(jax.vmap(
+            lambda k, qp, qv: assemble(m, pl_.layout, pl_.table, k, qp, qv)))
+        t, efc = timeit(jasm, (kin, qpos, qvel))
+        phases["assemble_ms"] = round(t * 1e3, 2)
+        jsolve = tpu_jit(jax.vmap(
+            lambda Mm, qa, e, w: solve(m, Mm, qa, e, warmstart=w)))
+        t, (qacc_, _qf, con_f) = timeit(jsolve, (M_, qacc_s, efc, warm))
+        phases["solve_ms"] = round(t * 1e3, 2)
+        jcfrc = tpu_jit(jax.vmap(
+            lambda pr, k, e, f_: F.cfrc_ext(pl_, pr, k, e, f_)))
+        t, _ = timeit(jcfrc, (params, kin, efc, con_f))
+        phases["cfrc_ms"] = round(t * 1e3, 2)
+        jint = tpu_jit(jax.vmap(
+            lambda pr, qp, qv, qa, Mm: F.integrate(pl_, pr, qp, qv, qa, Mm)))
+        t, _ = timeit(jint, (params, qpos, qvel, qacc_, M_))
+        phases["integrate_ms"] = round(t * 1e3, 2)
+    except Exception as e:  # never let the breakdown kill the metric
+        phases["error"] = str(e)[:160]
+    return phases
+
+
 def main():
     variables, state, obs, step = build()
     rng = jax.random.PRNGKey(2)
@@ -130,20 +208,44 @@ def main():
         state, obs, rng, r = step(variables, state, obs, rng)
     float(jax.device_get(r))  # hard sync
 
-    t0 = time.perf_counter()
-    for _ in range(TIMED_STEPS):
-        state, obs, rng, r = step(variables, state, obs, rng)
-    float(jax.device_get(r))  # hard sync
-    dt = time.perf_counter() - t0
+    windows = []
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(TIMED_STEPS):
+            state, obs, rng, r = step(variables, state, obs, rng)
+        float(jax.device_get(r))  # hard sync
+        dt = time.perf_counter() - t0
+        windows.append(NUM_ENVS * TIMED_STEPS / dt)
 
-    steps_per_sec = NUM_ENVS * TIMED_STEPS / dt
+    med = sorted(windows)[len(windows) // 2]
+    spread_pct = 100.0 * (max(windows) - min(windows)) / med
+
+    phases = {}
+    if os.environ.get("QTPU_BENCH_PHASES", "1") == "1":
+        it = os.environ.get("QTPU_SOLVER_ITERS", "8")
+        pools = os.environ.get("QTPU_POOLS", "8,28,12")
+        env = Go1Env(Go1Config(
+            ctrl_type="torque",
+            solver_iterations=int(it) if it else None,
+            contact_pools=(
+                tuple(int(x) for x in pools.split(",")) if pools else None
+            ),
+        ))
+        phases = _phase_breakdown(env)
+
     print(
         json.dumps(
             {
                 "metric": "env_steps_per_sec_per_chip_4096envs",
-                "value": round(steps_per_sec, 1),
+                "value": round(med, 1),
                 "unit": "control steps/s (10 physics substeps each)",
-                "vs_baseline": round(steps_per_sec / BASELINE, 4),
+                "vs_baseline": round(med / BASELINE, 4),
+                "windows_steps_per_sec": [round(w, 1) for w in windows],
+                "spread_pct": round(spread_pct, 2),
+                "timed_steps_per_window": TIMED_STEPS,
+                # per-substep stage timings: dispatch-floor-bounded but
+                # rank-stable — the attribution record for regressions
+                "phases_ms_per_substep": phases,
                 # solver profile of record: results measured at different
                 # profiles are different workloads (8 warm iterations =
                 # the accuracy-measured training profile, PLAN.md drift

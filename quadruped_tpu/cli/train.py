@@ -36,13 +36,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_frequency", type=int, default=300_000)
     p.add_argument("--model_path", type=str, default=None,
                    help="Checkpoint dir: resume (train) or policy (test).")
+    # Interface flags use a None sentinel so run_test can tell "user
+    # passed the flag" (non-None, even via argparse prefix abbreviation
+    # or programmatic argv) from "parser default" without scanning
+    # sys.argv (ADVICE r4 low).  main() fills the canonical defaults
+    # right after parsing; the rest of the CLI never sees None.
     p.add_argument("--robot", type=str, choices=["go1", "go2"],
-                   default="go1",
-                   help="go1 = reference robot; go2 = BASELINE config 4 "
-                        "(authored asset, tools/gen_go2_assets.py)")
+                   default=None,
+                   help="go1 = reference robot (default); go2 = BASELINE "
+                        "config 4 (authored asset, tools/gen_go2_assets.py)")
     p.add_argument("--ctrl_type", type=str, choices=["torque", "position"],
-                   default="position")
-    p.add_argument("--biped", action="store_true")
+                   default=None, help="default: position")
+    p.add_argument("--biped", action="store_true", default=None)
     p.add_argument("--video_duration", type=int, default=20)
     p.add_argument("--video_interval", type=int, default=300_000)
     p.add_argument("--rand_power", type=float, default=0.0)
@@ -70,7 +75,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "whole rollout fused in one program; the default 1 "
                         "keeps each program's execution time bounded, which "
                         "the axon TPU runtime requires at large batches).")
-    p.add_argument("--gait_conditioning", action="store_true",
+    p.add_argument("--gait_conditioning", action="store_true", default=None,
                    help="command-conditioned multi-gait (trot/pace/bound)")
     p.add_argument("--terrain", type=str, default="flat",
                    choices=["flat", "rough"],
@@ -98,7 +103,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "accel cost): signed reward (no floor) and plain "
                         "qacc2 accel cost. Evals report REFERENCE-semantics "
                         "reward (runner builds a separate eval env).")
-    p.add_argument("--action_mode", type=str, default="raw",
+    p.add_argument("--action_mode", type=str, default=None,
                    choices=["raw", "centered"],
                    help="'raw' = reference semantics (action IS the "
                         "actuator ctrl; in position mode action=0 targets "
@@ -107,8 +112,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "action_scale*action) so action=0 stands — the "
                         "walking-era parameterization; recorded in "
                         "checkpoint metadata and honored by --run test.")
-    p.add_argument("--action_scale", type=float, default=0.3,
-                   help="rad around key_ctrl for --action_mode centered")
+    p.add_argument("--action_scale", type=float, default=None,
+                   help="rad around key_ctrl for --action_mode centered "
+                        "(default 0.3)")
     p.add_argument("--command_speed_floor", type=float, default=0.0,
                    help="anti-standing lever (a), VERDICT r3 #1: resample "
                         "the x-velocity command as sign*U(floor, 0.5) so "
@@ -161,10 +167,35 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+#: Policy<->env interface flags: parser default is a None sentinel so
+#: explicit-passing is detectable (ADVICE r4 low); these are the
+#: canonical values filled in before any consumer reads them.
+IFACE_DEFAULTS = {
+    "robot": "go1", "ctrl_type": "position", "action_mode": "raw",
+    "action_scale": 0.3, "biped": False, "gait_conditioning": False,
+}
+
+
+def fill_iface_defaults(args):
+    """Record which interface flags were explicitly passed, then replace
+    None sentinels with canonical defaults.  Idempotent; called by main()
+    and defensively by make_env() for external parse_args users."""
+    if not hasattr(args, "_explicit_iface"):
+        args._explicit_iface = {
+            k for k in IFACE_DEFAULTS
+            if getattr(args, k, None) is not None
+        }
+        for k, v in IFACE_DEFAULTS.items():
+            if getattr(args, k, None) is None:
+                setattr(args, k, v)
+    return args
+
+
 def make_env(args):
     from ..env.config import Go1Config, RewardWeights
     from ..env.go1 import Go1Env
 
+    fill_iface_defaults(args)
     extra = {}
     profile = getattr(args, "reward_profile", "full")
     if profile in ("locomotion", "shaped"):
@@ -261,17 +292,14 @@ def run_test(args):
         raise SystemExit("--run test requires --model_path")
     # self-describing artifacts: the checkpoint metadata records the
     # policy<->env interface it was trained with (ctrl_type/action_mode);
-    # honor it unless the user explicitly passed the flag on the command
-    # line (ADVICE r3 low: argparse defaults are indistinguishable from
-    # explicit flags, so explicitness is detected from sys.argv).  Falls
-    # back to the run-level best_model metadata when a periodic
-    # checkpoint_N predates the interface fields.
+    # honor it unless the user explicitly passed the flag (None-sentinel
+    # detection in main(), robust to argparse prefix abbreviations and
+    # programmatic argv — ADVICE r4 low).  Falls back to the run-level
+    # best_model metadata when a periodic checkpoint_N predates the
+    # interface fields.
     import json
-    import sys as _sys
 
-    explicit = {
-        a[2:].split("=", 1)[0] for a in _sys.argv[1:] if a.startswith("--")
-    }
+    explicit = getattr(args, "_explicit_iface", set())
     meta0 = {}
     for src in (Path(args.model_path),
                 Path(args.model_path).parent / "best_model"):
@@ -344,7 +372,7 @@ def main(argv=None):
     from ..utils import cache as _cache
 
     _cache.enable()
-    args = build_parser().parse_args(argv)
+    args = fill_iface_defaults(build_parser().parse_args(argv))
     if args.run == "train":
         run_train(args)
     else:

@@ -51,6 +51,7 @@ def build_gate_env(meta: dict):
         action_mode=meta.get("action_mode", "raw"),
         action_scale=meta.get("action_scale", 0.3),
         gait_conditioning=meta.get("gait_conditioning", False),
+        biped=meta.get("biped", False),
         rewards=RewardWeights(recovery=0.0, get_up=0.0),
         fallen_start_prob=0.0,
     ))
@@ -96,7 +97,14 @@ def evaluate_gate(
         "tracking_ok": bool(g["tracking_error"] <= TRACKING_MAX),
         "length_ok": bool(mean_len >= full_len),
         "distance_ok": bool(g["distance"] >= dist_floor),
-        "stepping_ok": bool(g["feet_airtime"] > 0.0),
+        # stepping: either the reference airtime reward fires (swings
+        # > 0.2 s) or the threshold-free touchdown counter does — a gait
+        # with sub-0.2 s swings is still a gait (ADVICE r4 low); a
+        # stander scores 0.0 on BOTH.
+        "stepping_ok": bool(
+            g["feet_airtime"] > 0.0
+            or g.get("touchdowns_per_sec", 0.0) > 0.0
+        ),
     }
     return {
         "episodes": episodes,
@@ -106,6 +114,7 @@ def evaluate_gate(
         "distance_floor": float(dist_floor),
         "mean_desired_speed": float(g["mean_desired_speed"]),
         "feet_airtime": float(g["feet_airtime"]),
+        "touchdowns_per_sec": float(g.get("touchdowns_per_sec", 0.0)),
         "mean_length": mean_len,
         "mean_reward_reference_semantics": float(
             np.mean(np.asarray(ep_rew))

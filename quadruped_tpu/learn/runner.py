@@ -148,6 +148,11 @@ class Runner:
                 # episode): lets the gait gate scale its displacement
                 # floor by what was actually commanded
                 "desired_speed": jnp.linalg.norm(state.desired_vel[:2]),
+                # per-foot airtime accumulator (resets to 0 at touchdown):
+                # lets _gait_metrics count touchdown events directly,
+                # independent of the reference airtime reward's 0.2 s
+                # minimum-swing threshold (ADVICE r4 low)
+                "feet_air": state2.feet_air_time,
                 "reward_components": {
                     k: v for k, v in info.items()
                     if k.endswith("_reward") or k.endswith("_cost")
@@ -205,11 +210,11 @@ class Runner:
         )
         done = np.asarray(done)
         success = (~done) | np.asarray(out["bipedal_success"][:, -1])
-        out["gait_metrics"] = self._gait_metrics(out)
+        out["gait_metrics"] = self._gait_metrics(out, self.eval_env.cfg.dt)
         return np.asarray(ep_rew), np.asarray(ep_len), success, out
 
     @staticmethod
-    def _gait_metrics(out) -> dict:
+    def _gait_metrics(out, dt: float = 0.02) -> dict:
         """Aggregate gait-quality metrics over an eval batch (B, T).
 
         A reward-farming collapsed policy (VERDICT r1: eval lengths pinned
@@ -241,8 +246,11 @@ class Runner:
             "mean_desired_speed": float(
                 np.asarray(out["desired_speed"])[:, 0].mean()
             ),
-            # feet leave the ground at all (first-contact events with
-            # airtime): 0.0 for a stander, > 0 for any stepping gait
+            # feet leave the ground at all, measured via the REFERENCE
+            # airtime reward channel — which only pays swings LONGER than
+            # 0.2 s (go1_mujoco_env.py airtime threshold), so a genuinely
+            # stepping gait with sub-0.2 s swings reads 0.0 here; the
+            # touchdowns metric below has no such threshold (ADVICE r4)
             # (masked to live steps — past-done steps re-step frozen state)
             "feet_airtime": float(
                 (
@@ -256,6 +264,21 @@ class Runner:
                 ).sum()
             ),
         }
+        # threshold-free stepping detector: a touchdown is the airtime
+        # accumulator resetting to 0 after >= 2 control steps airborne
+        # (the 2-step floor rejects single-step contact-force jitter).
+        # A stander's feet never leave the ground -> 0.0 exactly.
+        fa = out.get("feet_air")
+        if fa is not None:
+            fa = np.asarray(fa, np.float64)              # (B, T, 4)
+            touchdown = (fa[:, :-1, :] >= 2.0 * dt - 1e-9) & (
+                fa[:, 1:, :] == 0.0
+            )
+            live = valid[:, 1:, None]
+            sim_secs = max(float(valid.sum()) * dt, 1e-9)
+            metrics["touchdowns_per_sec"] = float(
+                (touchdown & live).sum() / sim_secs
+            )
         for k, v in out["reward_components"].items():
             v = np.asarray(v, np.float64)
             metrics[f"channel/{k}"] = float((v * valid).sum() / nv)

@@ -543,7 +543,24 @@ def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None,
     candidates on the Go1 table).  Sound because capsule(r,h) encloses
     cylinder(r,h): the approximation UNDERESTIMATES distance, so activity
     tests by it never miss a true contact, and the refined distance still
-    decides final contact activity."""
+    decides final contact activity.
+
+    CAVEAT (pool saturation, ADVICE r4 medium): the soundness above is
+    per-candidate.  In constraint.assemble's pooled path, compaction
+    keeps only the FIRST K_c active candidates per condim class in index
+    order; a falsely-active cylinder candidate (capsule says active,
+    refined cylinder says not) still occupies a slot, so when a pool
+    SATURATES (overflow counter > 0) it can evict a genuinely active
+    later contact that the refine-everything path would have kept.
+    While pools have headroom the two paths are bitwise-identical
+    (tests/test_defer_cyl.py); under saturation they may diverge.  The
+    per-step `contact_overflow` info channel is the monitoring signal —
+    nonzero overflow in a defer_cyl run means both dropped contacts AND
+    possible defer/non-defer divergence; size pools up or set
+    QTPU_DEFER_CYL=0 for crowded scenes.  (The false-active set cannot
+    be shrunk without refining: the capsule distance is a LOWER bound on
+    the cylinder distance, and excluding candidates would need an upper
+    bound tighter than d_capsule + r, which only refinement provides.)"""
     gx, gm = kin.geom_xpos, kin.geom_xmat
     size = jnp.asarray(m.geom_size, gx.dtype)
 

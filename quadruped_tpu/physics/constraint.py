@@ -394,6 +394,14 @@ def assemble(
         # each condim class compacts its actives into its own K_c slots;
         # slot condim is then STATIC, so the contact block emits only
         # condim_c rows per slot (row_con/row_dim) instead of uniform 6
+        # NOTE (defer_cyl + saturation): with layout.defer_cyl, dist_all
+        # holds the capsule UNDER-estimate for cylinder-kind candidates,
+        # so act_all over-includes them.  False actives only waste slots
+        # (refinement re-deactivates them downstream) — UNLESS a pool
+        # saturates, in which case a falsely-active earlier candidate can
+        # evict a genuinely active later one that refine-everything would
+        # have kept.  `overflow` below (surfaced as contact_overflow) is
+        # the monitoring signal; see collision.narrowphase docstring.
         incm_all = jnp.asarray(layout.con_includemargin, dtype)
         act_all = dist_all < incm_all
         data = jnp.concatenate(

@@ -41,7 +41,17 @@ def _cpu_platform() -> bool:
     except AttributeError:
         pass
     p = p or os.environ.get("JAX_PLATFORMS", "")
-    return str(p).split(",")[0].strip().lower() == "cpu"
+    if p:
+        return str(p).split(",")[0].strip().lower() == "cpu"
+    # Neither config nor env pinned a platform: an ad-hoc script on a
+    # CPU-only host would still default to the CPU backend and hit the
+    # crash modes above.  Deciding now requires initializing the backend;
+    # that is acceptable here because no tunnel-pinned entry point reaches
+    # this branch (they all set jax_platforms first).
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return True  # backend init failed — no cache is the safe default
 
 
 def enable(path: str | None = None):

@@ -54,23 +54,27 @@ def _stl_bytes(verts: np.ndarray, faces: np.ndarray) -> bytes:
     return b"\x00" * 80 + struct.pack("<I", m) + rec.tobytes()
 
 
-def _bundled_visual_model(ctrl_type: str):
+def _bundled_visual_model(ctrl_type: str, robot: str = "go1"):
     """(xml, assets) for the self-contained mesh-visual scene.
 
-    quadruped_tpu/assets/go1_visual.npz carries compact derived visual
-    meshes (tools/gen_visual_assets.py: reference STLs decimated ~5x, plus
-    a synthesized trunk — the upstream checkout is missing trunk.stl) and
-    the body->(mesh, quat) placement map from the reference MJCF body
-    tree.  Visual geoms are injected into the framework's own physics XML
-    in group 2 (collision geoms live in group 3), so the same model
-    renders mesh-quality video with zero reference-checkout dependency."""
+    quadruped_tpu/assets/{robot}_visual.npz carries compact visual meshes
+    (go1: reference STLs decimated ~5x plus a synthesized trunk — the
+    upstream checkout is missing trunk.stl, tools/gen_visual_assets.py;
+    go2: meshes synthesized per body from the collision envelope,
+    tools/gen_go2_visual.py — no source STLs exist for the authored
+    asset) and a body->(mesh, quat) placement map.  Visual geoms are
+    injected into the framework's own physics XML in group 2 (collision
+    geoms live in group 3), so the same model renders mesh-quality video
+    with zero reference-checkout dependency."""
     import json
     import re
 
     from .. import assets as assets_pkg
-    from ..assets import go1_xml
+    from ..assets import robot_xml
 
-    path = os.path.join(os.path.dirname(assets_pkg.__file__), "go1_visual.npz")
+    path = os.path.join(
+        os.path.dirname(assets_pkg.__file__), f"{robot}_visual.npz"
+    )
     if not os.path.exists(path):
         return None
     npz = np.load(path)
@@ -79,7 +83,7 @@ def _bundled_visual_model(ctrl_type: str):
     vfs = {f"{n}.stl": _stl_bytes(npz[f"{n}_v"], npz[f"{n}_f"])
            for n in meshes}
 
-    xml = go1_xml(ctrl_type)
+    xml = robot_xml(robot, ctrl_type)
     asset_block = (
         "<asset>"
         + "".join(f'<mesh name="{n}" file="{n}.stl" />' for n in meshes)
@@ -99,7 +103,10 @@ def _bundled_visual_model(ctrl_type: str):
     )
     for body, (mesh, quat) in placements.items():
         q = " ".join(str(float(c)) for c in quat)
-        rgba = "0.38 0.39 0.42 1" if mesh != "trunk" else "0.72 0.66 0.2 1"
+        rgba = (
+            "0.72 0.66 0.2 1" if mesh.startswith("trunk")
+            else "0.38 0.39 0.42 1"
+        )
         geom = (
             f'<geom type="mesh" mesh="{mesh}" quat="{q}" contype="0" '
             f'conaffinity="0" group="2" rgba="{rgba}" />'
@@ -145,9 +152,9 @@ def _make_renderer(ctrl_type: str, width: int, height: int,
     import mujoco
 
     visual = _visual_scene_path(ctrl_type)
-    if visual is None and robot == "go1":
+    if visual is None:
         try:
-            bundled = _bundled_visual_model(ctrl_type)
+            bundled = _bundled_visual_model(ctrl_type, robot=robot)
             if bundled is not None:
                 xml, vfs = bundled
                 mj = mujoco.MjModel.from_xml_string(xml, vfs)

@@ -80,6 +80,41 @@ def test_gait_metrics_collapsed_policy_signature():
     assert m["healthy_frac"] < 0.1  # the gate a walking policy passes
 
 
+def test_touchdowns_per_sec_threshold_free():
+    """ADVICE r4 low: a gait with sub-0.2 s swings pays no reference
+    airtime reward (feet_airtime reads 0.0) but must still register as
+    stepping.  The touchdown counter detects the airtime accumulator
+    resetting after >= 2 control steps airborne; single-step jitter and
+    standers read 0.0."""
+    dt = 0.02
+    B, T = 1, 8
+    valid = np.ones((B, T), bool)
+    healthy = np.ones((B, T), bool)
+    err = np.zeros((B, T))
+    dist = np.zeros((B, T))
+
+    # foot 0: a real 3-step swing (0.06 s < 0.2 s threshold) touching
+    # down at t=4; foot 1: single-step jitter (not counted); feet 2-3
+    # planted throughout (stander signature)
+    fa = np.zeros((B, T, 4))
+    fa[0, 1:4, 0] = [dt, 2 * dt, 3 * dt]   # airborne t=1..3, down at t=4
+    fa[0, 2, 1] = dt                        # 1-step blip, down at t=3
+    out = _fake_out(valid, healthy, err, dist)
+    out["feet_air"] = fa
+    m = Runner._gait_metrics(out, dt=dt)
+    # one touchdown event over T*dt = 0.16 s of sim
+    assert abs(m["touchdowns_per_sec"] - 1 / (T * dt)) < 1e-9
+
+    # a stander: no feet ever airborne -> exactly 0.0
+    out2 = _fake_out(valid, healthy, err, dist)
+    out2["feet_air"] = np.zeros((B, T, 4))
+    assert Runner._gait_metrics(out2, dt=dt)["touchdowns_per_sec"] == 0.0
+
+    # histories without the field (pre-round-5 evals) simply omit it
+    m3 = Runner._gait_metrics(_fake_out(valid, healthy, err, dist), dt=dt)
+    assert "touchdowns_per_sec" not in m3
+
+
 def test_training_history_gait_roundtrip(tmp_path):
     h = TrainingHistory()
     h.append(1000, 5.0, 100.0, False,
