@@ -102,7 +102,10 @@ class TrainingHistory:
     # gait-quality series (VERDICT r1 weak #3): may be shorter than the
     # core series when resuming from a pre-metric history file
     GAIT_FIELDS = ("healthy_frac", "tracking_error", "distance",
-                   "feet_airtime", "mean_desired_speed")
+                   "feet_airtime", "mean_desired_speed",
+                   # threshold-free touchdown counter (ADVICE r4 low);
+                   # absent in histories written before round 5
+                   "touchdowns_per_sec")
 
     def __init__(self):
         self.best_reward = -float("inf")

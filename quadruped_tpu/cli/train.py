@@ -128,6 +128,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "contact — vanishes the moment any foot swings. "
                         "Train-time only; evals keep reference semantics. "
                         "0 = off.")
+    p.add_argument("--stand_still_mode", type=str, default="contact",
+                   choices=["contact", "velocity"],
+                   help="stand_still_cost trigger: 'contact' = all four "
+                        "feet planted (dodgeable by stepping in place — "
+                        "the 60M flagship did); 'velocity' = commanded-"
+                        "direction speed < 30%% of the command (only real "
+                        "translation escapes). Train-time only.")
     p.add_argument("--feet_airtime_bootstrap", type=float, default=0.0,
                    help="linear payment per foot touchdown with >= 0.1 s "
                         "airtime while commanded+healthy — the reachable "
@@ -223,6 +230,9 @@ def make_env(args):
         extra["command_speed_floor"] = args.command_speed_floor
     if getattr(args, "stand_still_cost", 0.0):
         extra["stand_still_cost"] = args.stand_still_cost
+        extra["stand_still_mode"] = getattr(
+            args, "stand_still_mode", "contact"
+        )
     if getattr(args, "feet_airtime_bootstrap", 0.0):
         extra["feet_airtime_bootstrap"] = args.feet_airtime_bootstrap
     cfg = Go1Config(

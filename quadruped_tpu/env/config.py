@@ -168,6 +168,15 @@ class Go1Config:
     #     lift a foot; vanishes the moment any foot swings, so a trotting
     #     policy never pays it.  0 = off (reference has no such term).
     stand_still_cost: float = 0.0
+    #   stand_still_mode: trigger for stand_still_cost.  "contact" = all
+    #     four feet in stance (round-4 lever — proved DODGEABLE: the 60M
+    #     flagship learned to swing feet in place, airtime 0.97/eval while
+    #     covering 0.10 m, paying nothing).  "velocity" = commanded-
+    #     direction speed below 30% of the command while healthy — charges
+    #     standing AND stepping-in-place AND walking the wrong way; only
+    #     actual commanded translation escapes.  Train-time only (evals
+    #     keep reference semantics, which has neither).
+    stand_still_mode: str = "contact"
     #   feet_airtime_bootstrap: linear per-touchdown payment (w per foot
     #     touching down after >= 0.1 s airborne, while healthy and
     #     commanded) — the REACHABLE version of the reference's airtime

@@ -655,14 +655,24 @@ class Go1Env:
         ).astype(dtype) * c.collision
         unhealthy_cost = jnp.where(healthy, 0.0, 1.0) * c.unhealthy_state
 
-        # anti-standing lever (c), config.py: all four feet in stance
-        # while healthy and commanded to move -> dense pressure to lift a
-        # foot; a stepping gait never pays it.  0-weight by default
-        # (reference has no such term); eval env keeps it 0.
+        # anti-standing lever (c), config.py: dense pressure to follow a
+        # motion command.  0-weight by default (reference has no such
+        # term); eval env keeps it 0.  Trigger per stand_still_mode:
+        #   contact  — all four feet in stance (r4; dodgeable by stepping
+        #              in place, which the 60M flagship learned to do)
+        #   velocity — commanded-direction speed < 30% of the command:
+        #              only actual commanded translation escapes
         moving_cmd = jnp.linalg.norm(state.desired_vel[:2]) > 0.1
+        if cfg.stand_still_mode == "velocity":
+            cmd_norm = jnp.maximum(
+                jnp.linalg.norm(state.desired_vel[:2]), 1e-6
+            )
+            proj = jnp.dot(qvel[:2], state.desired_vel[:2]) / cmd_norm
+            ss_trigger = moving_cmd & healthy & (proj < 0.3 * cmd_norm)
+        else:
+            ss_trigger = moving_cmd & healthy & jnp.all(curr_contact)
         stand_still = (
-            jnp.where(moving_cmd & healthy & jnp.all(curr_contact), 1.0, 0.0)
-            * cfg.stand_still_cost
+            jnp.where(ss_trigger, 1.0, 0.0) * cfg.stand_still_cost
         )
 
         costs = (

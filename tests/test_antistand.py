@@ -102,6 +102,39 @@ def test_stand_still_cost_semantics(levered_env):
 
 
 @pytest.mark.smoke
+def test_stand_still_velocity_mode(levered_env):
+    """Round 5: the velocity trigger charges stepping-in-place (which the
+    contact trigger missed — the 60M flagship's dodge) and releases only
+    on commanded-direction translation."""
+    env = Go1Env(dataclasses.replace(
+        levered_env.cfg, stand_still_mode="velocity"
+    ))
+    step = jax.jit(env.step)
+    st = env.reset(jax.random.PRNGKey(3))
+    for _ in range(25):
+        st, _o, _r, _t, _tr, info = step(st, jnp.zeros(12))
+    cmd = jnp.asarray([0.3, 0.0, 0.0], st.qpos.dtype)
+    # stationary under command: charged regardless of foot contacts
+    s, charges = st, []
+    for _ in range(20):
+        s = dataclasses.replace(s, desired_vel=cmd)
+        s, _o, _r, _t, _tr, info = step(s, jnp.zeros(12))
+        charges.append(float(info["stand_still_cost"]))
+    assert min(charges) == pytest.approx(-1.5)
+    # translating at the command: never charged — inject forward base
+    # velocity above the 30% threshold (0.09 m/s for a 0.3 command)
+    qv = st.qvel.at[0].set(0.3)
+    s2 = dataclasses.replace(st, qvel=qv, desired_vel=cmd)
+    _s, _o, _r, _t, _tr, info = step(s2, jnp.zeros(12))
+    assert info["stand_still_cost"] == 0.0
+    # moving the WRONG way at full speed: charged (projection < 0)
+    qv = st.qvel.at[0].set(-0.3)
+    s3 = dataclasses.replace(st, qvel=qv, desired_vel=cmd)
+    _s, _o, _r, _t, _tr, info = step(s3, jnp.zeros(12))
+    assert info["stand_still_cost"] == pytest.approx(-1.5)
+
+
+@pytest.mark.smoke
 def test_runner_eval_env_restores_reference_semantics(levered_env):
     from quadruped_tpu.learn.ppo import PPOConfig
     from quadruped_tpu.learn.runner import Runner, RunnerConfig

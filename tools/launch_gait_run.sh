@@ -38,6 +38,12 @@
 #         foot, zero for any stepping gait.  Standing under command now
 #         nets ~(1.22 tracking - 1.5 penalty) vs ~2.0 for tracking at
 #         the command — walking strictly dominates.
+#   * ROUND 5: --stand_still_mode velocity — the contact trigger proved
+#     DODGEABLE: by 60M the flagship swung feet in place (eval airtime
+#     0.97, distance 0.10 m) and paid nothing.  The velocity trigger
+#     charges any state whose commanded-direction speed is below 30% of
+#     the command, so stepping-in-place is charged too; only actual
+#     commanded translation escapes.  QTPU_SS_MODE=contact restores r4.
 #
 # The supervisor preflights the objective on CPU before the first launch
 # (tools/preflight_signal.py — refuses reward-density-0 configs), watches
@@ -55,6 +61,7 @@ QTPU_SOLVER_ITERS=8 QTPU_EVAL_CHUNK=100 nohup python tools/train_supervisor.py \
     --action_mode centered \
     --command_speed_floor 0.15 \
     --stand_still_cost 1.5 \
+    --stand_still_mode "${QTPU_SS_MODE:-velocity}" \
     --feet_airtime_bootstrap "${QTPU_AIRTIME_BOOTSTRAP:-5.0}" \
     --best_metric gait \
     --max_unhealthy_time 1.0 \
