@@ -21,6 +21,7 @@ model (see tests/test_constraint.py):
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -300,6 +301,38 @@ def _packed_const(layout: EfcLayout) -> np.ndarray:
     return tbl
 
 
+def _row_onehot(sel, n, dtype):
+    """(K, n) one-hot of row indices — exact 0/1 in every matmul
+    precision, so one-hot row selection is bitwise-equal to a gather."""
+    return (sel[:, None] == jnp.arange(n, dtype=sel.dtype)[None, :]).astype(
+        dtype
+    )
+
+
+def _gather_rows(sel, data, const, dtype):
+    """Top-K slot gather: (dsel, csel) = rows `sel` of the per-env
+    contact data table and the static packed-const table.
+
+    Default 'onehot': both gathers become matmuls (round-5 on-chip A/B,
+    tools/asm_probe2.py: per-env take_along 11.4 ms vs one-hot einsum
+    4.3 ms at 811->48 x 30 cols, B=4096; the const side is
+    env-independent so under vmap it lowers to a true MXU GEMM).
+    Precision HIGHEST makes the f32 operand splitting exact, and each
+    one-hot row has exactly one nonzero, so the result is BITWISE equal
+    to the gather primitive (pinned by tests/test_gather_onehot.py).
+    QTPU_GATHER=take restores the gather-primitive path."""
+    if os.environ.get("QTPU_GATHER", "onehot") == "take":
+        return data[sel], const[sel]
+    oh = _row_onehot(sel, data.shape[0], dtype)
+    dsel = jax.lax.dot(
+        oh, data, precision=jax.lax.Precision.HIGHEST
+    )
+    csel = jax.lax.dot(
+        oh, const, precision=jax.lax.Precision.HIGHEST
+    )
+    return dsel, csel
+
+
 def _unpack_const(csel):
     """Column map of _packed_const after gather (condim returned raw)."""
     return dict(
@@ -408,7 +441,7 @@ def assemble(
             [dist_all[:, None], pos_all, frame_all.reshape(-1, 9)], axis=1
         )
         const = jnp.asarray(_packed_const(layout), dtype)
-        dsel_l, csel_l, sel_l, valid_l, cd_l = [], [], [], [], []
+        sel_l, valid_l, cd_l = [], [], []
         overflow = jnp.zeros((), jnp.int32)
         for cdim, idx, Kc in layout.pools:
             if Kc == 0:
@@ -424,13 +457,16 @@ def assemble(
             sel_c = idxj[sel_local]
             valid_l.append(jnp.arange(Kc) < cs[-1])
             overflow = overflow + jnp.maximum(cs[-1] - Kc, 0)
-            dsel_l.append(data[sel_c])
-            csel_l.append(const[sel_c])
             sel_l.append(sel_c)
             cd_l.append(np.full(Kc, cdim, np.int64))
-        dsel = jnp.concatenate(dsel_l)
-        csel = jnp.concatenate(csel_l)
         sel = jnp.concatenate(sel_l)
+        # slot gather as one-hot matmul (round 5, tools/asm_probe2.py on
+        # v5e: per-env take_along 11.4 ms vs one-hot einsum 4.3 ms at
+        # production shapes; const is env-independent, so its gather is
+        # a true MXU matmul).  One nonzero per one-hot row and HIGHEST
+        # precision (exact f32 splitting) keep it BITWISE equal to the
+        # take path; QTPU_GATHER=take restores the gather primitive.
+        dsel, csel = _gather_rows(sel, data, const, dtype)
         slot_valid = jnp.concatenate(valid_l)
         static_cd = np.concatenate(cd_l)
         pool_dims = tuple(
@@ -517,8 +553,7 @@ def assemble(
             [dist_all[:, None], pos_all, frame_all.reshape(-1, 9)], axis=1
         )
         const = jnp.asarray(_packed_const(layout), dtype)
-        dsel = data[sel]
-        csel = const[sel]
+        dsel, csel = _gather_rows(sel, data, const, dtype)
         dist, pos = dsel[:, 0], dsel[:, 1:4]
         frame = dsel[:, 4:13].reshape(-1, 3, 3)
         # force unselected slots inactive regardless of the dummy gather
@@ -550,22 +585,54 @@ def assemble(
     # Jacobian: rows (normal, t1, t2) translational; (normal, t1, t2) rotational
     # J_row = dir . (vel of point/angvel of body2 - body1)
     arm = pos - kin.ref                                     # (ncon, 3)
-    # dof point jacobian (ncon, nv, 3): v_d(p) = cdof_v + cdof_w x arm
-    jt = kin.cdof[None, :, 3:] + jnp.cross(
-        kin.cdof[None, :, :3], arm[:, None, :]
-    )
-    jr = jnp.broadcast_to(kin.cdof[None, :, :3], jt.shape)
     sgn = anc[body2] - anc[body1]                           # (ncon, nv)
-    jt = jt * sgn[..., None]
-    jr = jr * sgn[..., None]
-    # (ncon, 6, nv): frame rows dotted with point/rotation jacobians
-    Jc = jnp.concatenate(
-        [
-            jnp.einsum("cdk,cik->cid", jt, frame),
-            jnp.einsum("cdk,cik->cid", jr, frame),
-        ],
-        axis=1,
-    )
+    if os.environ.get("QTPU_JROW", "unroll") == "einsum":
+        # original formulation: 3-vectors as trailing dims.  Under vmap
+        # those tiny trailing axes land on the 8x128 tile minor dims and
+        # pad 2.7-42x; kept for A/B (QTPU_JROW=einsum).
+        # dof point jacobian (ncon, nv, 3): v_d(p) = cdof_v + cdof_w x arm
+        jt = kin.cdof[None, :, 3:] + jnp.cross(
+            kin.cdof[None, :, :3], arm[:, None, :]
+        )
+        jr = jnp.broadcast_to(kin.cdof[None, :, :3], jt.shape)
+        jt = jt * sgn[..., None]
+        jr = jr * sgn[..., None]
+        # (ncon, 6, nv): frame rows dotted with point/rotation jacobians
+        Jc = jnp.concatenate(
+            [
+                jnp.einsum("cdk,cik->cid", jt, frame),
+                jnp.einsum("cdk,cik->cid", jr, frame),
+            ],
+            axis=1,
+        )
+    else:
+        # component-unrolled form (round 5): every intermediate is 2-D
+        # (nv, ncon) — under either vmap layout the batch rides a full
+        # tile axis and no 3-wide dim pads a tile (on-chip A/B in
+        # tools/asm_probe2.py: 8.7 ms -> 3.0 ms at B=4096).  Same math,
+        # same per-element operation order as the einsum form:
+        # jt[c,d,:] = (cdof_v[d] + cdof_w[d] x arm[c]) * sgn[c,d],
+        # row[c,i,d] = sum_k jt[c,d,k] * frame[c,i,k].
+        w3 = kin.cdof[:, :3]                                # (nv, 3)
+        v3 = kin.cdof[:, 3:]
+        ax, ay, az = arm[:, 0][None], arm[:, 1][None], arm[:, 2][None]
+        sT = sgn.T                                          # (nv, ncon)
+        # parenthesization matches cross-then-add of the einsum form
+        # (v + (w x arm)), keeping the rounding bit-identical
+        jtx = (v3[:, 0:1] + (w3[:, 1:2] * az - w3[:, 2:3] * ay)) * sT
+        jty = (v3[:, 1:2] + (w3[:, 2:3] * ax - w3[:, 0:1] * az)) * sT
+        jtz = (v3[:, 2:3] + (w3[:, 0:1] * ay - w3[:, 1:2] * ax)) * sT
+        jrx = w3[:, 0:1] * sT
+        jry = w3[:, 1:2] * sT
+        jrz = w3[:, 2:3] * sT
+        rows = []
+        for cx, cy, cz in ((jtx, jty, jtz), (jrx, jry, jrz)):
+            for i in range(3):
+                fx = frame[:, i, 0][None]
+                fy = frame[:, i, 1][None]
+                fz = frame[:, i, 2][None]
+                rows.append((cx * fx + cy * fy + cz * fz).T)  # (ncon, nv)
+        Jc = jnp.stack(rows, axis=1)                        # (ncon, 6, nv)
 
     d_imp = _impedance(solimp, dist - margin)
     Kstiff, B = _kb(solref, solimp)
