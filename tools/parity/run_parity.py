@@ -109,7 +109,12 @@ def run_qtpu(args):
         n_steps=args.n_steps,
         learning_rate=args.learning_rate,
         num_minibatches=batch // 64,       # sb3 minibatch 64
-        rollout_chunk=8 if jax.default_backend() != "cpu" else None,
+        # 12-env rollouts are latency-bound (~35-45 ms/control-step
+        # regardless of batch), so the chunk size only sets how much
+        # host-dispatch overhead amortizes per program: 64 steps x ~40 ms
+        # ~= 2.6 s/program, still under the axon single-program ceiling
+        rollout_chunk=int(os.environ.get("QTPU_PARITY_CHUNK", "64"))
+        if jax.default_backend() != "cpu" else None,
     )
     run_cfg = RunnerConfig(n_eval_episodes=2, eval_max_time=20.0,
                            save_videos=False, verbose=False)
@@ -159,17 +164,27 @@ def compare(args):
 
     ref = json.loads((OUT / f"reference{suffix(args)}_history.json").read_text())
     qt = json.loads((OUT / f"qtpu{suffix(args)}_history.json").read_text())
-    # final-quarter mean eval reward on each side (same total steps)
+    # equal-sample comparison: truncate BOTH sides to the shorter side's
+    # final step before taking the final-quarter means — comparing one
+    # side's 3M tail against the other's 1M tail would not be an
+    # equal-sample-count statement (results/parity/README.md: compare
+    # equal prefixes when the clock forces unequal run lengths)
+    common = min(ref[-1]["step"], qt[-1]["step"])
+    ref_c = [r for r in ref if r["step"] <= common]
+    qt_c = [r for r in qt if r["step"] <= common]
     tail = lambda h: np.mean([r["eval_reward"] for r in h[-max(1, len(h) // 4):]])
-    r_ref, r_qt = tail(ref), tail(qt)
+    r_ref, r_qt = tail(ref_c), tail(qt_c)
     gap = (r_qt - r_ref) / max(abs(r_ref), 1e-9)
     lines = [
         "# Quality parity (equal sample count)",
         "",
+        f"- compared over the common prefix: {common:,} env steps"
+        + ("" if ref[-1]["step"] == qt[-1]["step"] else
+           f" (full histories: reference {ref[-1]['step']:,}, "
+           f"qtpu {qt[-1]['step']:,})"),
         f"- reference (MuJoCo C + torch PPO @ SB3 defaults): "
-        f"final-quarter mean eval reward {r_ref:.1f} over {ref[-1]['step']:,} steps",
-        f"- quadruped_tpu (same hyperparameters): {r_qt:.1f} over "
-        f"{qt[-1]['step']:,} steps",
+        f"final-quarter mean eval reward {r_ref:.1f}",
+        f"- quadruped_tpu (same hyperparameters): {r_qt:.1f}",
         f"- relative gap: {gap*100:+.1f}% (BASELINE target: within 5%)",
     ]
     (OUT / f"PARITY{suffix(args)}.md").write_text("\n".join(lines) + "\n")
