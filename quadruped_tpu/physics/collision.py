@@ -522,7 +522,7 @@ def _capsule_box(cpos, cmat, r, half, bpos, bmat, size):
 
 
 def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None,
-                defer_cyl: bool = False):
+                defer_cyl: bool = False, frames: str = "full"):
     """Run all groups; returns per-candidate (dist, pos, frame) with
     dist/pos/frame shapes (ncand,), (ncand,3), (ncand,3,3).
 
@@ -572,7 +572,7 @@ def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None,
         ppos, n = local_plane(terrain, gx[i2])
         return n, ppos
 
-    dists, poss, frames = [], [], []
+    dists, poss, frames_l = [], [], []
     for g in table.groups:
         i1, i2 = g.geom1, g.geom2
         if g.kind == "plane_sphere":
@@ -628,6 +628,15 @@ def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None,
         d = d.reshape(-1)
         p = p.reshape(-1, 3)
         nn = nn.reshape(-1, 3)
+        if frames == "normal":
+            # deferred frames (round 5): the caller builds full frames
+            # only for its selected top-K slots via frame_from_normal —
+            # same math on the same normal bits, so bitwise-equal while
+            # skipping the tangent construction for ~17x more candidates
+            frames_l.append(nn)
+            dists.append(d)
+            poss.append(p)
+            continue
         if g.kind == "plane_capsule":
             # oracle behavior: t1 = capsule axis projected onto the plane
             # (normalized), t2 = n x t1; falls back to plane axes when the
@@ -643,12 +652,31 @@ def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None,
             fr = make_frame(nn)
         dists.append(d)
         poss.append(p)
-        frames.append(fr)
+        frames_l.append(fr)
 
     dist = jnp.concatenate(dists)
     pos = jnp.concatenate(poss, axis=0)
-    frame = jnp.concatenate(frames, axis=0)
+    frame = jnp.concatenate(frames_l, axis=0)
     return dist, pos, frame
+
+
+def frame_from_normal(nn, pcap, axis, px):
+    """Full (K, 3, 3) contact frames from slot normals — the deferred
+    counterpart of the narrowphase frame block, applied after top-K
+    selection (48 slots instead of 811 candidates).
+
+    pcap marks plane_capsule slots, whose oracle frame uses the capsule
+    axis projected into the plane (axis = geom2 xmat z-column, px =
+    geom1 xmat x-column fallback) — the exact expressions of the group
+    loop, so the result is bit-identical to gathering precomputed
+    frames."""
+    base = make_frame(nn)
+    proj = axis - jnp.sum(axis * nn, axis=-1, keepdims=True) * nn
+    pn = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+    t1 = jnp.where(pn > 1e-8, proj / jnp.maximum(pn, 1e-12), px)
+    t2 = jnp.cross(nn, t1)
+    special = jnp.stack([nn, t1, t2], axis=-2)
+    return jnp.where(pcap[:, None, None], special, base)
 
 
 # deferred-refinement kind codes (constraint.EfcLayout.con_cylkind)

@@ -129,6 +129,9 @@ class EfcLayout:
     con_rh: np.ndarray | None = None      # (ncand, 4) r1 h1 r2 h2
     con_cylkind: np.ndarray | None = None  # (ncand,) collision.CYLKIND_*
     defer_cyl: bool = False
+    # deferred frames (round 5): plane_capsule candidates use a special
+    # tangent rule, so slot-level frame_from_normal needs the flag
+    con_pcap: np.ndarray | None = None    # (ncand,) 1.0 = plane_capsule
 
 
 def build_layout(
@@ -169,11 +172,17 @@ def build_layout(
         [m.geom_size[g1c, 0], m.geom_size[g1c, 1],
          m.geom_size[g2c, 0], m.geom_size[g2c, 1]], axis=1,
     )
+    pcap = np.concatenate([
+        np.full(g.ncand, 1.0 if g.kind == "plane_capsule" else 0.0,
+                np.float64)
+        for g in table.groups
+    ]) if table.groups else np.zeros(0, np.float64)
     return EfcLayout(
         con_geom1=g1c,
         con_geom2=g2c,
         con_rh=rh,
         con_cylkind=cylkind,
+        con_pcap=pcap,
         # deferral only pays (and is only implemented) on the pooled path
         defer_cyl=bool(defer_cyl and pools is not None and (cylkind > 0).any()),
         friction_dofs=friction_dofs,
@@ -294,6 +303,8 @@ def _packed_const(layout: EfcLayout) -> np.ndarray:
                 np.asarray(layout.con_geom2, np.float64)[:, None],
                 np.asarray(layout.con_rh, np.float64),
                 np.asarray(layout.con_cylkind, np.float64)[:, None],
+                # deferred-frame metadata (col 25): plane_capsule flag
+                np.asarray(layout.con_pcap, np.float64)[:, None],
             ],
             axis=1,
         )
@@ -333,6 +344,30 @@ def _gather_rows(sel, data, const, dtype):
     return dsel, csel
 
 
+def _gather_xmat_col(kin, g, col):
+    """(K, 3) rows of kin.geom_xmat[:, :, col] at per-slot geom indices,
+    as a one-hot HIGHEST-precision matmul (bitwise equal to the gather,
+    same argument as _gather_rows)."""
+    tbl = kin.geom_xmat[:, :, col]
+    oh = _row_onehot(g, tbl.shape[0], tbl.dtype)
+    return jax.lax.dot(oh, tbl, precision=jax.lax.Precision.HIGHEST)
+
+
+def _slot_frames(kin, dsel, c, fr_mode):
+    """Slot contact frames: gathered full frames (fr_mode 'full', data
+    cols 4:13) or deferred construction from gathered normals (cols 4:7)
+    via collision.frame_from_normal — the plane_capsule special tangent
+    pulls its axis (geom2 z) and fallback (geom1 x) columns per slot."""
+    if fr_mode == "full":
+        return dsel[:, 4:13].reshape(-1, 3, 3)
+    from .collision import frame_from_normal
+
+    nn = dsel[:, 4:7]
+    axis = _gather_xmat_col(kin, c["geom2"], 2)
+    px = _gather_xmat_col(kin, c["geom1"], 0)
+    return frame_from_normal(nn, c["pcap"], axis, px)
+
+
 def _unpack_const(csel):
     """Column map of _packed_const after gather (condim returned raw)."""
     return dict(
@@ -346,6 +381,7 @@ def _unpack_const(csel):
         geom2=csel[:, 19].astype(jnp.int32),
         rh=csel[:, 20:24],
         cylkind=csel[:, 24].astype(jnp.int32),
+        pcap=csel[:, 25] > 0.5,
     )
 
 
@@ -416,8 +452,23 @@ def assemble(
     # narrowphase over ALL candidates (cheap VPU math), then top-K selection
     # of the most-penetrating candidates: only K contacts enter the solver,
     # cutting the dominant J^T W J cost ~4-10x with static shapes intact.
+    # deferred frames (round 5): on the selection paths the narrowphase
+    # returns NORMALS only and full frames are built post-selection for
+    # the K slots (collision.frame_from_normal — bit-identical math on
+    # 17x fewer rows, and the packed data gather shrinks 13 -> 7 cols).
+    # QTPU_FRAMES=full restores candidate-level frame construction.
+    K0 = layout.max_contacts
+    selecting = layout.pools is not None or (
+        K0 is not None and K0 < layout.ncon
+    )
+    fr_mode = (
+        "normal"
+        if selecting and os.environ.get("QTPU_FRAMES", "defer") != "full"
+        else "full"
+    )
     dist_all, pos_all, frame_all = narrowphase(
-        m, table, kin, terrain=terrain, defer_cyl=layout.defer_cyl
+        m, table, kin, terrain=terrain, defer_cyl=layout.defer_cyl,
+        frames=fr_mode,
     )
     K = layout.max_contacts
     static_cd = None     # static per-slot condim => compact J rows
@@ -438,7 +489,8 @@ def assemble(
         incm_all = jnp.asarray(layout.con_includemargin, dtype)
         act_all = dist_all < incm_all
         data = jnp.concatenate(
-            [dist_all[:, None], pos_all, frame_all.reshape(-1, 9)], axis=1
+            [dist_all[:, None], pos_all,
+             frame_all.reshape(frame_all.shape[0], -1)], axis=1
         )
         const = jnp.asarray(_packed_const(layout), dtype)
         sel_l, valid_l, cd_l = [], [], []
@@ -474,9 +526,9 @@ def assemble(
         )
         K = int(static_cd.shape[0])
         dist, pos = dsel[:, 0], dsel[:, 1:4]
-        frame = dsel[:, 4:13].reshape(-1, 3, 3)
-        dist = jnp.where(slot_valid, dist, 1e9)
         c = _unpack_const(csel)
+        frame = _slot_frames(kin, dsel, c, fr_mode)
+        dist = jnp.where(slot_valid, dist, 1e9)
         margin, solref, solimp = c["margin"], c["solref"], c["solimp"]
         mu, diagapprox = c["mu"], c["diagapprox"]
         body1, body2 = c["body1"], c["body2"]
@@ -550,15 +602,16 @@ def assemble(
         # so dist/pos/frame and the 9 constant tables ride a single
         # (ncand, 13+18) gather each
         data = jnp.concatenate(
-            [dist_all[:, None], pos_all, frame_all.reshape(-1, 9)], axis=1
+            [dist_all[:, None], pos_all,
+             frame_all.reshape(frame_all.shape[0], -1)], axis=1
         )
         const = jnp.asarray(_packed_const(layout), dtype)
         dsel, csel = _gather_rows(sel, data, const, dtype)
         dist, pos = dsel[:, 0], dsel[:, 1:4]
-        frame = dsel[:, 4:13].reshape(-1, 3, 3)
+        c = _unpack_const(csel)
+        frame = _slot_frames(kin, dsel, c, fr_mode)
         # force unselected slots inactive regardless of the dummy gather
         dist = jnp.where(slot_valid, dist, 1e9)
-        c = _unpack_const(csel)
         margin, solref, solimp = c["margin"], c["solref"], c["solimp"]
         mu, diagapprox = c["mu"], c["diagapprox"]
         body1, body2 = c["body1"], c["body2"]
