@@ -9,6 +9,14 @@
 # multigait-smoke (round 4, results/multigait-smoke) proved the
 # pipeline; this is the capability-scale run.
 #
+# --learning_rate 1e-3 (vs SB3's 3e-4): the flagship's diagnosed
+# pathology is MEAN-LAG — train (stochastic) reward rose past its
+# pre-cost peak while deterministic eval distance stayed at 0.1 m, with
+# approx_kl ~0.002/iter, far under the ~0.01 this recipe family targets
+# (legged_gym adapts lr to hold kl~0.01).  At 262k-sample batches the
+# gradient is low-noise, so 3x lr moves the policy mean at a healthy
+# kl without instability.  QTPU_LR overrides.
+#
 # Supervisor auto-resumes from the newest multigait-r5 checkpoint.
 set -x
 cd "$(dirname "$0")/.."
@@ -18,6 +26,7 @@ QTPU_SOLVER_ITERS=8 QTPU_EVAL_CHUNK=100 nohup python tools/train_supervisor.py \
     --log /tmp/supervised_multigait.log \
     -- \
     --gait_conditioning \
+    --learning_rate "${QTPU_LR:-0.001}" \
     --num_parallel_envs 4096 --n_steps 64 --num_minibatches 8 --n_epochs 5 \
     --ctrl_type position --reward_profile shaped \
     --action_mode centered \
