@@ -105,7 +105,10 @@ class TrainingHistory:
                    "feet_airtime", "mean_desired_speed",
                    # threshold-free touchdown counter (ADVICE r4 low);
                    # absent in histories written before round 5
-                   "touchdowns_per_sec")
+                   "touchdowns_per_sec",
+                   # per-gait contact-template match (BASELINE config 5)
+                   "gait_match_rate", "gait_match_rate/trot",
+                   "gait_match_rate/pace", "gait_match_rate/bound")
 
     def __init__(self):
         self.best_reward = -float("inf")

@@ -153,6 +153,11 @@ class Runner:
                 # independent of the reference airtime reward's 0.2 s
                 # minimum-swing threshold (ADVICE r4 low)
                 "feet_air": state2.feet_air_time,
+                # commanded gait + shared clock (BASELINE config 5):
+                # powers the per-gait contact-pattern match-rate metric
+                # for gait-conditioned runs (constant 0/trot otherwise)
+                "gait": state.gait,
+                "gait_phase": state2.gait_phase,
                 "reward_components": {
                     k: v for k, v in info.items()
                     if k.endswith("_reward") or k.endswith("_cost")
@@ -279,6 +284,35 @@ class Runner:
             metrics["touchdowns_per_sec"] = float(
                 (touchdown & live).sum() / sim_secs
             )
+        # per-gait contact-pattern match rate (BASELINE config 5 success
+        # criterion): fraction of foot-steps whose stance/swing state
+        # matches the commanded gait's template at the shared clock
+        # phase, over valid+healthy steps.  Stance <-> airtime
+        # accumulator at 0 (it resets on touchdown, accumulates while
+        # airborne — the same signal the airtime reward integrates).
+        if fa is not None and "gait" in out and "gait_phase" in out:
+            from ..env.go1 import Go1Env
+
+            g_cmd = np.asarray(out["gait"])              # (B, T)
+            phase = np.asarray(out["gait_phase"])        # (B, T)
+            stance = fa == 0.0                           # (B, T, 4)
+            tmpl = np.asarray(Go1Env._GAIT_STANCE)[g_cmd]  # (B, T, 4)
+            expected = np.where(
+                (phase < 0.5)[..., None], tmpl, 1.0 - tmpl
+            )
+            match = (stance == (expected > 0.5))
+            live_h = (valid & healthy)[..., None]
+            denom = max(float(live_h.sum() * 4), 1.0)
+            metrics["gait_match_rate"] = float(
+                (match & live_h).sum() / denom
+            )
+            for gi, gname in enumerate(("trot", "pace", "bound")):
+                sel_g = live_h & (g_cmd == gi)[..., None]
+                n_g = float(sel_g.sum() * 4)
+                if n_g:
+                    metrics[f"gait_match_rate/{gname}"] = float(
+                        (match & sel_g).sum() / n_g
+                    )
         for k, v in out["reward_components"].items():
             v = np.asarray(v, np.float64)
             metrics[f"channel/{k}"] = float((v * valid).sum() / nv)

@@ -115,6 +115,47 @@ def test_touchdowns_per_sec_threshold_free():
     assert "touchdowns_per_sec" not in m3
 
 
+def test_gait_match_rate_per_gait():
+    """BASELINE config 5 metric: fraction of foot-steps matching the
+    commanded gait's stance/swing template at the shared clock phase.
+    A perfect trot scores 1.0; all-four-stance scores 0.5 (template
+    expects two feet in stance at any phase)."""
+    dt = 0.02
+    B, T = 1, 6
+    valid = np.ones((B, T), bool)
+    healthy = np.ones((B, T), bool)
+    base = _fake_out(valid, healthy, np.zeros((B, T)), np.zeros((B, T)))
+
+    # perfect trot: phase < 0.5 -> FR+RL stance (airtime 0), FL+RR swing
+    fa = np.zeros((B, T, 4))
+    phase = np.array([[0.1, 0.2, 0.3, 0.6, 0.7, 0.8]])
+    for t in range(T):
+        if phase[0, t] < 0.5:
+            fa[0, t, 1] = fa[0, t, 2] = dt   # FL, RR airborne
+        else:
+            fa[0, t, 0] = fa[0, t, 3] = dt   # FR, RL airborne
+    out = dict(base, feet_air=fa, gait=np.zeros((B, T), int),
+               gait_phase=phase)
+    from quadruped_tpu.learn.runner import Runner as R
+
+    m = R._gait_metrics(out, dt=dt)
+    assert m["gait_match_rate"] == 1.0
+    assert m["gait_match_rate/trot"] == 1.0
+    assert "gait_match_rate/pace" not in m   # never commanded
+
+    # a stander (all stance, airtime 0 everywhere): half the template
+    # matches at any phase
+    out2 = dict(base, feet_air=np.zeros((B, T, 4)),
+                gait=np.zeros((B, T), int), gait_phase=phase)
+    assert R._gait_metrics(out2, dt=dt)["gait_match_rate"] == 0.5
+
+    # same stepping pattern commanded as PACE (template FR+RR first
+    # half): diagonal stepping matches pace on 2 of 4 feet
+    out3 = dict(out, gait=np.ones((B, T), int))
+    m3 = R._gait_metrics(out3, dt=dt)
+    assert m3["gait_match_rate/pace"] == 0.5
+
+
 def test_training_history_gait_roundtrip(tmp_path):
     h = TrainingHistory()
     h.append(1000, 5.0, 100.0, False,
