@@ -236,7 +236,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "env_steps_per_sec_per_chip_4096envs",
+                "metric": f"env_steps_per_sec_per_chip_{NUM_ENVS}envs",
                 "value": round(med, 1),
                 "unit": "control steps/s (10 physics substeps each)",
                 "vs_baseline": round(med / BASELINE, 4),

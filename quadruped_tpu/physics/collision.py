@@ -24,6 +24,7 @@ the rewards read on flat terrain — use exact MuJoCo narrowphase).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -375,6 +376,48 @@ def _capsule_capsule(p1, m1, r1, h1, p2, m2, r2, h2):
     return _sphere_sphere(q1, r1, q2, r2)
 
 
+def _capsule_capsule_soa(p1, m1, r1, h1, p2, m2, r2, h2):
+    """Component-unrolled capsule-capsule (round 5): identical math to
+    _segment_segment + _sphere_sphere, with every intermediate a 2-D
+    (ncand,)-per-env array instead of (ncand, 3) — under either vmap
+    layout no 3-wide axis lands on a tile dimension (the J-row unroll
+    treatment, tools/asm_probe2.py: 2.7x less padded traffic).  This is
+    the dominant narrowphase family (247 capsule/cylinder self-pairs on
+    the Go1 full table ride it under defer_cyl).  ULP-level FMA rounding
+    differences vs the vector form are possible (same bar as the J-row
+    unroll; tools/drift_ab.py envelope).  QTPU_NARROW=legacy restores
+    the vector form."""
+    p1x, p1y, p1z = p1[..., 0], p1[..., 1], p1[..., 2]
+    p2x, p2y, p2z = p2[..., 0], p2[..., 1], p2[..., 2]
+    a1x, a1y, a1z = m1[..., 0, 2], m1[..., 1, 2], m1[..., 2, 2]
+    a2x, a2y, a2z = m2[..., 0, 2], m2[..., 1, 2], m2[..., 2, 2]
+    rx, ry, rz = p1x - p2x, p1y - p2y, p1z - p2z
+    A = a1x * a1x + a1y * a1y + a1z * a1z
+    Bc = a1x * a2x + a1y * a2y + a1z * a2z
+    C = a2x * a2x + a2y * a2y + a2z * a2z
+    D = a1x * rx + a1y * ry + a1z * rz
+    E = a2x * rx + a2y * ry + a2z * rz
+    den = A * C - Bc * Bc
+    s = jnp.where(
+        den > 1e-12, (Bc * E - C * D) / jnp.maximum(den, 1e-12), 0.0
+    )
+    s = jnp.clip(s, -h1, h1)
+    t = jnp.clip((Bc * s + E) / jnp.maximum(C, 1e-12), -h2, h2)
+    s = jnp.clip((Bc * t - D) / jnp.maximum(A, 1e-12), -h1, h1)
+    q1x, q1y, q1z = p1x + s * a1x, p1y + s * a1y, p1z + s * a1z
+    q2x, q2y, q2z = p2x + t * a2x, p2y + t * a2y, p2z + t * a2z
+    dx, dy, dz = q2x - q1x, q2y - q1y, q2z - q1z
+    dn = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    mn = jnp.maximum(dn, 1e-12)
+    nx, ny, nz = dx / mn, dy / mn, dz / mn
+    dist = dn - (r1 + r2)
+    adv = r1 + 0.5 * dist
+    px, py, pz = q1x + nx * adv, q1y + ny * adv, q1z + nz * adv
+    pos = jnp.stack([px, py, pz], axis=-1)
+    nn = jnp.stack([nx, ny, nz], axis=-1)
+    return dist[..., None], pos[..., None, :], nn[..., None, :]
+
+
 def _proj_solid_cylinder(x, cpos, cmat, r, h):
     """Euclidean projection of point x onto a solid cylinder (identity for
     interior points)."""
@@ -563,6 +606,13 @@ def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None,
     bound tighter than d_capsule + r, which only refinement provides.)"""
     gx, gm = kin.geom_xpos, kin.geom_xmat
     size = jnp.asarray(m.geom_size, gx.dtype)
+    # capsule-capsule family dispatch: component-unrolled by default
+    # (QTPU_NARROW=legacy restores the 3-vector form) — trace-time choice
+    _ccap = (
+        _capsule_capsule
+        if os.environ.get("QTPU_NARROW", "soa") == "legacy"
+        else _capsule_capsule_soa
+    )
 
     def plane_of(i1, i2):
         if terrain is None:
@@ -594,7 +644,7 @@ def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None,
         elif g.kind == "sphere_cylinder":
             d, p, nn = _sphere_cylinder(gx[i1], size[i1, 0], gx[i2], gm[i2], size[i2, 0], size[i2, 1])
         elif g.kind == "capsule_capsule":
-            d, p, nn = _capsule_capsule(
+            d, p, nn = _ccap(
                 gx[i1], gm[i1], size[i1, 0], size[i1, 1],
                 gx[i2], gm[i2], size[i2, 0], size[i2, 1],
             )
@@ -603,7 +653,7 @@ def narrowphase(m: PhysicsModel, table: CollisionTable, kin, terrain=None,
                 # cheap pass: the capsule-capsule base approximation only
                 # (the hybrid's own d0 path); refinement happens post-
                 # selection in constraint.assemble
-                d, p, nn = _capsule_capsule(
+                d, p, nn = _ccap(
                     gx[i1], gm[i1], size[i1, 0], size[i1, 1],
                     gx[i2], gm[i2], size[i2, 0], size[i2, 1],
                 )

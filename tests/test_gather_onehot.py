@@ -126,9 +126,37 @@ def test_unrolled_jrows_drift_envelope():
     assert drift < 5e-4, f"trajectory drift {drift} out of envelope"
 
 
+def test_soa_capsule_family_matches_legacy():
+    """Component-unrolled capsule-capsule (QTPU_NARROW=soa, default)
+    vs the 3-vector form: same math, ULP bar (bitwise on XLA:CPU)."""
+    env = Go1Env(Go1Config(ctrl_type="torque", contact_pools=(8, 28, 12)))
+    m, pl = env.m, env.pipeline
+    st, q0 = _fallen_probe(env, 0)
+    build = lambda: (
+        lambda q, v: assemble(m, pl.layout, pl.table, fk(m, q, v), q, v)
+    )
+
+    def run(narrow):
+        os.environ["QTPU_NARROW"] = narrow
+        try:
+            f = jax.jit(build())
+            return f(q0, st.qvel)
+        finally:
+            os.environ.pop("QTPU_NARROW", None)
+
+    a, b = run("legacy"), run("soa")
+    for name in ("con_dist", "con_pos", "con_frame", "J", "aref", "R"):
+        va = np.asarray(getattr(a, name), np.float64)
+        vb = np.asarray(getattr(b, name), np.float64)
+        scale = np.maximum(np.abs(va), 1.0)
+        assert float((np.abs(va - vb) / scale).max()) < 5e-7, name
+
+
 @pytest.mark.smoke
 def test_default_modes_are_the_fast_path():
     os.environ.pop("QTPU_GATHER", None)
     os.environ.pop("QTPU_JROW", None)
+    os.environ.pop("QTPU_NARROW", None)
     assert os.environ.get("QTPU_GATHER", "onehot") == "onehot"
     assert os.environ.get("QTPU_JROW", "unroll") == "unroll"
+    assert os.environ.get("QTPU_NARROW", "soa") == "soa"
