@@ -18,7 +18,7 @@ set -x
 cd "$(dirname "$0")/.."
 QTPU_SOLVER_ITERS=8 QTPU_EVAL_CHUNK=100 nohup python tools/train_supervisor.py \
     --total_timesteps "${1:-20000000}" \
-    --stall_minutes 12 \
+    --stall_minutes 20 \
     --log /tmp/supervised_biped.log \
     -- \
     --biped \

@@ -54,7 +54,7 @@ set -x
 cd "$(dirname "$0")/.."
 QTPU_SOLVER_ITERS=8 QTPU_EVAL_CHUNK=100 nohup python tools/train_supervisor.py \
     --total_timesteps "${1:-100000000}" \
-    --stall_minutes 12 \
+    --stall_minutes 20 \
     -- \
     --num_parallel_envs 4096 --n_steps 64 --num_minibatches 8 --n_epochs 5 \
     --ctrl_type position --reward_profile shaped \

@@ -22,7 +22,7 @@ set -x
 cd "$(dirname "$0")/.."
 QTPU_SOLVER_ITERS=8 QTPU_EVAL_CHUNK=100 nohup python tools/train_supervisor.py \
     --total_timesteps "${1:-40000000}" \
-    --stall_minutes 12 \
+    --stall_minutes 20 \
     --log /tmp/supervised_multigait.log \
     -- \
     --gait_conditioning \
