@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--video_interval", type=int, default=300_000)
     p.add_argument("--rand_power", type=float, default=0.0)
     p.add_argument("--learning_rate", type=float, default=3e-4)
+    p.add_argument("--kl_target", type=float, default=None,
+                   help="Adaptive-KL learning rate (legged_gym-style): "
+                        "scale lr x1.5 / 1.5x per minibatch to hold "
+                        "approx_kl near this target (try 0.01).  Default: "
+                        "fixed --learning_rate.")
     p.add_argument("--seed", type=int, default=0)
     # ---- TPU-native extras ---------------------------------------------------
     p.add_argument("--n_steps", type=int, default=32,
@@ -261,6 +266,7 @@ def run_train(args):
         num_envs=args.num_parallel_envs,
         n_steps=args.n_steps,
         learning_rate=args.learning_rate,
+        kl_target=args.kl_target,
         num_minibatches=args.num_minibatches,
         n_epochs=args.n_epochs,
         rollout_chunk=args.rollout_chunk or None,

@@ -48,6 +48,20 @@ class PPOConfig:
     num_minibatches: int = 32
     normalize_advantage: bool = True
     adam_eps: float = 1e-5
+    # adaptive-KL learning rate (legged_gym-style, None = fixed lr).
+    # Round-5 finding: at 262k-sample batches the fixed SB3 lr keeps
+    # approx_kl ~0.002-0.003 regardless of 3e-4 vs 1e-3 — 4x under the
+    # ~0.01 this recipe family holds — and the policy MEAN lags what
+    # exploration finds (results/walk_r4_progress/MEANLAG_75M.md: the
+    # stochastic policy walks 3.5x further than its mean).  When set,
+    # the per-minibatch KL drives a multiplicative lr adjustment
+    # (x1.5 when kl < target/2, /1.5 when kl > 2*target), bounded to
+    # [lr_min, lr_max] effective.  The multiplier lives in
+    # TrainState.lr_mult; it is NOT checkpointed and re-adapts within a
+    # few iterations of a resume.
+    kl_target: float | None = None
+    lr_min: float = 1e-5
+    lr_max: float = 1e-2
     # rollout chunking: number of control steps fused into ONE jitted
     # program.  None = the whole rollout + update is a single program (best
     # when the runtime allows it; CPU tests, healthy TPU runtimes).  The
@@ -80,6 +94,10 @@ class TrainState:
     obs: jax.Array                 # (B, obs_dim) current observations
     rng: jax.Array
     rand_power: jax.Array          # curriculum value pushed into resets
+    # adaptive-KL lr multiplier (PPOConfig.kl_target); 1.0 when disabled.
+    # Deliberately absent from checkpoints (old train_states restore
+    # cleanly); re-adapts from 1.0 within ~4 iterations of a resume.
+    lr_mult: jax.Array
 
 
 @flax.struct.dataclass
@@ -135,6 +153,7 @@ class PPO:
             obs=obs.astype(jnp.float32),
             rng=k_train,
             rand_power=jnp.asarray(rand_power, jnp.float32),
+            lr_mult=jnp.asarray(1.0, jnp.float32),
         )
 
     # --------------------------------------------------------------- rollout
@@ -261,7 +280,7 @@ class PPO:
         )
 
         def epoch(carry, _):
-            params, opt_state, rng = carry
+            params, opt_state, rng, lr_mult = carry
             rng, k = jax.random.split(rng)
             perm = jax.random.permutation(k, batch)
             shuffled = jax.tree.map(lambda x: x[perm], flat)
@@ -273,26 +292,51 @@ class PPO:
             )
 
             def minibatch(carry, batch_):
-                params, opt_state = carry
+                params, opt_state, lr_mult = carry
                 grads, metrics = jax.grad(self._loss, has_aux=True)(
                     params, batch_
                 )
                 if self.axis_name is not None:
                     grads = jax.lax.pmean(grads, self.axis_name)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
+                if cfg.kl_target is not None:
+                    # scale THIS step by the multiplier adapted so far,
+                    # then adapt from this minibatch's KL (legged_gym
+                    # order: observe, step, adjust for the next)
+                    updates = jax.tree.map(lambda u: u * lr_mult, updates)
+                    kl = metrics["approx_kl"]
+                    if self.axis_name is not None:
+                        # shards see different minibatches; adapt from the
+                        # global KL so lr_mult stays bit-identical across
+                        # the mesh (params already are, via pmean'd grads)
+                        kl = jax.lax.pmean(kl, self.axis_name)
+                    t = cfg.kl_target
+                    lr_mult = jnp.where(
+                        kl > 2.0 * t, lr_mult / 1.5,
+                        jnp.where(kl < 0.5 * t, lr_mult * 1.5, lr_mult),
+                    )
+                    lr_mult = jnp.clip(
+                        lr_mult,
+                        cfg.lr_min / cfg.learning_rate,
+                        cfg.lr_max / cfg.learning_rate,
+                    )
+                    metrics = dict(
+                        metrics, lr_effective=lr_mult * cfg.learning_rate
+                    )
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state), metrics
+                return (params, opt_state, lr_mult), metrics
 
-            (params, opt_state), metrics = jax.lax.scan(
-                minibatch, (params, opt_state), mb
+            (params, opt_state, lr_mult), metrics = jax.lax.scan(
+                minibatch, (params, opt_state, lr_mult), mb
             )
-            return (params, opt_state, rng), metrics
+            return (params, opt_state, rng, lr_mult), metrics
 
-        (params, opt_state, rng), metrics = jax.lax.scan(
-            epoch, (ts.params, ts.opt_state, ts.rng), None, length=cfg.n_epochs
+        (params, opt_state, rng, lr_mult), metrics = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, ts.rng, ts.lr_mult), None,
+            length=cfg.n_epochs,
         )
         ts = dataclasses.replace(
-            ts, params=params, opt_state=opt_state, rng=rng
+            ts, params=params, opt_state=opt_state, rng=rng, lr_mult=lr_mult
         )
         metrics = jax.tree.map(lambda x: x.mean(), metrics)
         return ts, metrics

@@ -470,9 +470,14 @@ class Runner:
                 # one-line heartbeat: the stall supervisor
                 # (tools/train_supervisor.py) watches log mtime, and evals
                 # can be many iterations apart
+                lr_note = (
+                    f"  lr={metrics['lr_effective']:.2e}"
+                    if "lr_effective" in metrics else ""
+                )
                 print(
                     f"  iter {iteration} done: {steps_per_iter/iter_seconds:,.0f} "
-                    f"steps/s  r={float(metrics['mean_reward']):.3f}",
+                    f"steps/s  r={float(metrics['mean_reward']):.3f}"
+                    f"  kl={float(metrics.get('approx_kl', 0.0)):.4f}{lr_note}",
                     flush=True,
                 )
             global_step += steps_per_iter

@@ -45,6 +45,7 @@ def train_state_specs(ts: TrainState, axis: str = "data") -> TrainState:
         obs=P(axis),
         rng=P(),
         rand_power=P(),
+        lr_mult=P(),
     )
 
 

@@ -24,9 +24,11 @@ QTPU_SOLVER_ITERS=8 QTPU_EVAL_CHUNK=100 nohup python tools/train_supervisor.py \
     --total_timesteps "${1:-40000000}" \
     --stall_minutes 20 \
     --log /tmp/supervised_multigait.log \
+    ${QTPU_NO_PREFLIGHT:+--no_preflight} \
     -- \
     --gait_conditioning \
     --learning_rate "${QTPU_LR:-0.001}" \
+    --kl_target "${QTPU_KL_TARGET:-0.01}" \
     --num_parallel_envs 4096 --n_steps 64 --num_minibatches 8 --n_epochs 5 \
     --ctrl_type position --reward_profile shaped \
     --action_mode centered \
