@@ -48,6 +48,22 @@ def load_policy(path, like: Any):
     return params, meta
 
 
+def load_policy_any(path, ts):
+    """Load policy params from either artifact layout.
+
+    best_model dirs carry `params/` (save_policy); periodic checkpoint_N
+    dirs carry the full `train_state/` payload (save_train_state) and no
+    separate params copy.  Tools that accept both (gait gate,
+    snapshot_walk_policy --source checkpoint_N, mean-lag probe) pass an
+    initialized TrainState `ts` so the optimizer-state restore template
+    is available for the second layout; returns (params, metadata)."""
+    path = _as_path(path)
+    if (path / "params").exists():
+        return load_policy(path, ts.params)
+    ts2, meta = load_train_state(path, ts)
+    return ts2.params, meta
+
+
 def save_train_state(path, ts, metadata: dict | None = None):
     """Full-resume checkpoint: params + optimizer + counters (+ metadata).
 

@@ -82,7 +82,7 @@ def evaluate_gate(
                      save_videos=False, verbose=False),
     )
     ts = runner.trainer.init(jax.random.PRNGKey(0))
-    params, _ = ckpt.load_policy(str(artifact), ts.params)
+    params, _ = ckpt.load_policy_any(str(artifact), ts)
     ts = dataclasses.replace(ts, params=params)
 
     ep_rew, ep_len, _succ, out = runner.evaluate(ts, jax.random.PRNGKey(seed))

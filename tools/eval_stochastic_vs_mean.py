@@ -77,7 +77,15 @@ def main():
     env = build_gate_env(meta)
     policy = Policy.make(act_dim=12)
     like = policy.init(jax.random.PRNGKey(0), obs_dim=env.obs_dim)
-    variables, _ = ckpt.load_policy(str(args.artifact), like)
+    if (args.artifact / "params").exists():
+        variables, _ = ckpt.load_policy(str(args.artifact), like)
+    else:
+        # periodic checkpoint_N layout: full train_state, no params copy
+        from quadruped_tpu.learn.ppo import PPO, PPOConfig
+
+        trainer = PPO(env, PPOConfig(num_envs=2, n_steps=2), policy=policy)
+        ts = trainer.init(jax.random.PRNGKey(0))
+        variables, _ = ckpt.load_policy_any(str(args.artifact), ts)
 
     fn = jax.jit(
         lambda rng, stoch: rollout_distance(
